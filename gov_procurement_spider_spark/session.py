@@ -26,6 +26,13 @@ def get_spark(
     harness controls parallelism; on a real cluster pass ``None`` after
     spark-submit sets the master.
     """
+    # make this package importable by executor python workers (the local-mode
+    # equivalent of `spark-submit --py-files`); must happen pre-JVM-launch
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

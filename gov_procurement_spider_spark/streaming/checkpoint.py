@@ -1,0 +1,83 @@
+"""Epoch checkpoint/commit protocol (SURVEY §2.10 T5, §4.3).
+
+The reference loses all state on crash (main.py:55-68: Python lists). Here
+every epoch's state transition is staged to ``<ckpt>/epoch=NNNNNN/<table>/``
+parquet dirs and committed by writing ``MANIFEST.json`` *last* (atomic
+rename-free commit marker: readers only trust manifested epochs). A killed
+job resumes from the last manifested epoch and replays forward to the exact
+same tables — the synthetic fetch is deterministic, selection order is a
+total data-carried order, so the resume is byte-identical in content.
+
+This is the parquet stand-in for an Iceberg multi-table transaction; the
+directory layout maps 1:1 onto Iceberg snapshots (one commit per epoch) so
+swapping the catalog in is a sink change, not a redesign.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "MANIFEST.json"
+
+
+def epoch_dir(ckpt: str, epoch: int) -> str:
+    return os.path.join(ckpt, f"epoch={epoch:06d}")
+
+
+def table_path(ckpt: str, epoch: int, name: str) -> str:
+    return os.path.join(epoch_dir(ckpt, epoch), name)
+
+
+def write_table(df: DataFrame, ckpt: str, epoch: int, name: str) -> None:
+    df.write.mode("overwrite").parquet(table_path(ckpt, epoch, name))
+
+
+def read_table(spark: SparkSession, ckpt: str, epoch: int, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(ckpt, epoch, name))
+
+
+def commit_epoch(ckpt: str, epoch: int, lineage: dict) -> None:
+    """Write the manifest marker — the epoch is visible only after this."""
+    payload = {"epoch": epoch, "committed_unix": time.time(), **lineage}
+    tmp = os.path.join(epoch_dir(ckpt, epoch), f".{MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(epoch_dir(ckpt, epoch), MANIFEST))
+
+
+def committed_epochs(ckpt: str) -> list[int]:
+    if not os.path.isdir(ckpt):
+        return []
+    out = []
+    for d in os.listdir(ckpt):
+        if d.startswith("epoch=") and os.path.exists(os.path.join(ckpt, d, MANIFEST)):
+            out.append(int(d.split("=")[1]))
+    return sorted(out)
+
+
+def last_committed(ckpt: str) -> int | None:
+    eps = committed_epochs(ckpt)
+    return eps[-1] if eps else None
+
+
+def cleanup_uncommitted(ckpt: str) -> list[str]:
+    """Drop staged-but-unmanifested epoch dirs (crash debris) before resume."""
+    removed = []
+    if not os.path.isdir(ckpt):
+        return removed
+    for d in os.listdir(ckpt):
+        p = os.path.join(ckpt, d)
+        if d.startswith("epoch=") and not os.path.exists(os.path.join(p, MANIFEST)):
+            shutil.rmtree(p)
+            removed.append(d)
+    return removed
+
+
+def read_manifest(ckpt: str, epoch: int) -> dict:
+    with open(os.path.join(epoch_dir(ckpt, epoch), MANIFEST)) as f:
+        return json.load(f)
