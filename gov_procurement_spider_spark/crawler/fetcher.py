@@ -5,18 +5,21 @@ spawn + handshake + quit *per row*).
 One `mapInPandas` pass per epoch fetches every selected frontier row inside
 its partition: list pages yield discovered-link rows (next pagination page +
 detail links, ref main.py:89-100), detail pages yield the image+caption
-payload (BASELINE.json input_hint schema). In this sandbox the "network" is
-the deterministic synthetic site (sources/site_model.py); on a real cluster
-this function body is the only thing that changes (batched HTTP with
-connection reuse per partition).
+payload (BASELINE.json input_hint schema), and each batch appends one
+``metric`` lineage row (per-partition fetch counts/bytes/wall — SURVEY §2.10
+T6). In this sandbox the "network" is the deterministic synthetic site
+(sources/site_model.py); on a real cluster this function body is the only
+thing that changes (batched HTTP with connection reuse per partition).
 
 Payload bytes are produced and written in the same partition-local stage —
-they never enter a shuffle (SURVEY §7 hard part 4). Only the small link rows
-(strings + ints) shuffle for dedup.
+they never enter a shuffle, and the epoch writes them exactly once
+(partitionBy(row_type) lets downstream readers prune them away). Only the
+small link rows (strings + ints) shuffle for dedup.
 """
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,81 +28,132 @@ from ..functions import images
 from ..sources import site_model as sm
 from ..sources.site_model import SiteSpec
 
-# unified output schema: link rows and payload rows discriminated by row_type
+# unified output schema: link / payload / metric rows discriminated by row_type
 FETCH_OUT_SCHEMA = (
-    "row_type string, priority int, disc_epoch int, seed_idx int, page_idx int,"
-    " pos int, kind string, url string, host string, route string,"
+    "row_type string, fetch_epoch int, priority int, disc_epoch int,"
+    " seed_idx int, page_idx int, pos int, kind string, url string,"
+    " host string, route string,"
     " image_id string, bytes binary, w int, h int, fmt string, caption string,"
-    " phash long"
+    " phash long,"
+    " urls_fetched long, links_discovered long, payload_bytes long, wall_ms long"
 )
 
-_LINK_NULLS = {
-    "image_id": None, "bytes": None, "w": None, "h": None,
-    "fmt": None, "caption": None, "phash": None,
+COLS = [
+    "row_type", "fetch_epoch", "priority", "disc_epoch", "seed_idx",
+    "page_idx", "pos", "kind", "url", "host", "route", "image_id", "bytes",
+    "w", "h", "fmt", "caption", "phash",
+    "urls_fetched", "links_discovered", "payload_bytes", "wall_ms",
+]
+
+_NULLABLE_INT = {
+    "w": "Int32", "h": "Int32", "phash": "Int64",
+    "urls_fetched": "Int64", "links_discovered": "Int64",
+    "payload_bytes": "Int64", "wall_ms": "Int64",
+    "priority": "Int32", "disc_epoch": "Int32", "seed_idx": "Int32",
+    "page_idx": "Int32", "pos": "Int32",
 }
 
+_BASE = dict.fromkeys(COLS)
 
-def make_fetcher(spec: SiteSpec):
+
+def _frame(rows: list[dict]) -> pd.DataFrame:
+    # column-wise with explicit nullable dtypes: a plain pd.DataFrame(rows)
+    # would infer float64 for mixed None/int columns and silently round
+    # 64-bit phashes
+    data = {
+        c: pd.array([r[c] for r in rows], dtype=_NULLABLE_INT[c])
+        if c in _NULLABLE_INT
+        else [r[c] for r in rows]
+        for c in COLS
+    }
+    return pd.DataFrame(data, columns=COLS)
+
+
+def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True):
     """Returns the mapInPandas function over selected frontier rows
     (priority, disc_epoch, seed_idx, page_idx, pos, kind, url, host)."""
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            t0 = time.perf_counter()
             out: list[dict] = []
+            n_payloads = n_links = n_bytes = 0
             for r in pdf.itertuples(index=False):
                 if r.kind == "list":
                     # pagination: admit next list page before this page's details
                     if r.page_idx < sm.n_list_pages(spec, r.seed_idx):
                         out.append(
                             dict(
-                                row_type="link", priority=r.priority,
-                                disc_epoch=-1, seed_idx=r.seed_idx,
-                                page_idx=r.page_idx + 1, pos=-1, kind="list",
+                                _BASE, row_type="link", fetch_epoch=epoch,
+                                priority=r.priority, disc_epoch=-1,
+                                seed_idx=r.seed_idx, page_idx=r.page_idx + 1,
+                                pos=-1, kind="list",
                                 url=sm.list_page_url(spec, r.seed_idx, r.page_idx + 1),
-                                host=r.host, route=None, **_LINK_NULLS,
+                                host=r.host,
                             )
                         )
+                        n_links += 1
                     for pos in range(sm.n_links(spec, r.seed_idx, r.page_idx)):
                         child, route = sm.child_detail(spec, r.seed_idx, r.page_idx, pos)
                         out.append(
                             dict(
-                                row_type="link", priority=r.priority,
-                                disc_epoch=-1, seed_idx=r.seed_idx,
-                                page_idx=r.page_idx, pos=pos, kind="detail",
-                                url=child, host=r.host, route=route, **_LINK_NULLS,
+                                _BASE, row_type="link", fetch_epoch=epoch,
+                                priority=r.priority, disc_epoch=-1,
+                                seed_idx=r.seed_idx, page_idx=r.page_idx,
+                                pos=pos, kind="detail", url=child, host=r.host,
+                                route=route,
                             )
                         )
+                        n_links += 1
                 else:  # detail leaf → image+caption payload
                     meta = sm.payload_meta(spec, r.url)
-                    data, phash = images.make_payload(
-                        meta["pixel_seed"], meta["w"], meta["h"], meta["fmt"]
+                    pixels = images.gen_pixels(
+                        meta["pixel_seed"], meta["w"], meta["h"]
                     )
+                    data = images.encode_image(pixels, meta["fmt"])
+                    phash = images.ahash64(pixels)
+                    # ingest-time validation (input_hint per-row invariant):
+                    # decode what we stored, check PSNR≥40dB for lossy /
+                    # exact for png, and that the perceptual hash survives
+                    if validate:
+                        dec = images.decode_image(data)
+                        if meta["fmt"] == "png":
+                            ok = bool((dec == pixels).all()) and (
+                                images.ahash64(dec) == phash
+                            )
+                        else:
+                            # lossy: pixels within PSNR gate, phash within a
+                            # small hamming radius
+                            dist = bin(
+                                (images.ahash64(dec) ^ phash) & ((1 << 64) - 1)
+                            ).count("1")
+                            ok = images.psnr(pixels, dec) >= 40.0 and dist <= 8
+                    else:
+                        ok = True
+                    if not ok:  # pragma: no cover - codec is deterministic
+                        continue  # skip corrupt payload (ref skips failed
+                        # fetches, main.py:124-127)
                     out.append(
                         dict(
-                            row_type="payload", priority=r.priority,
-                            disc_epoch=r.disc_epoch, seed_idx=r.seed_idx,
-                            page_idx=r.page_idx, pos=r.pos, kind="detail",
-                            url=r.url, host=r.host, route=None,
+                            _BASE, row_type="payload", fetch_epoch=epoch,
+                            priority=r.priority, disc_epoch=r.disc_epoch,
+                            seed_idx=r.seed_idx, page_idx=r.page_idx,
+                            pos=r.pos, kind="detail", url=r.url, host=r.host,
                             image_id=meta["image_id"], bytes=data,
                             w=meta["w"], h=meta["h"], fmt=meta["fmt"],
                             caption=meta["caption"], phash=phash,
                         )
                     )
-            cols = [
-                "row_type", "priority", "disc_epoch", "seed_idx", "page_idx",
-                "pos", "kind", "url", "host", "route", "image_id", "bytes",
-                "w", "h", "fmt", "caption", "phash",
-            ]
-            # build column-wise with explicit nullable dtypes: a plain
-            # pd.DataFrame(out) would infer float64 for mixed None/int
-            # columns and silently round 64-bit phashes
-            nullable_int = {"w": "Int32", "h": "Int32", "phash": "Int64"}
-            data = {
-                c: pd.array([r[c] for r in out], dtype=nullable_int[c])
-                if c in nullable_int
-                else [r[c] for r in out]
-                for c in cols
-            }
-            yield pd.DataFrame(data, columns=cols)
+                    n_payloads += 1
+                    n_bytes += len(data)
+            out.append(
+                dict(
+                    _BASE, row_type="metric", fetch_epoch=epoch,
+                    urls_fetched=len(pdf),
+                    links_discovered=n_links, payload_bytes=n_bytes,
+                    wall_ms=int((time.perf_counter() - t0) * 1000),
+                )
+            )
+            yield _frame(out)
 
     return fetch

@@ -56,12 +56,18 @@ class CrawlResult:
     spark: SparkSession
 
     def _union(self, name: str) -> DataFrame:
+        # per-path reads unioned (not a multi-root read: the row_type
+        # partitioning inside fetch_out confuses cross-root discovery)
         paths = [
             ck.table_path(self.ckpt, e, name)
             for e in ck.committed_epochs(self.ckpt)
             if os.path.isdir(ck.table_path(self.ckpt, e, name))
         ]
-        return self.spark.read.parquet(*paths)
+        dfs = [self.spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def crawl_order(self) -> DataFrame:
         """Total crawl order: (epoch, host, key...) ascending — the proof
@@ -69,13 +75,31 @@ class CrawlResult:
         return self._union("crawl_log").orderBy(["epoch", "host"] + ORDER_KEY)
 
     def fetched(self) -> DataFrame:
-        return self._union("fetched")
+        """Payload rows (input_hint schema + provenance), partition-pruned
+        out of fetch_out — payload bytes are written exactly once."""
+        return (
+            self._union("fetch_out")
+            .filter(F.col("row_type") == "payload")
+            .select(
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "url", "host", "fetch_epoch",
+                *ORDER_KEY,
+            )
+        )
 
     def seen(self) -> DataFrame:
         return self._union("seen_new")
 
     def metrics(self) -> DataFrame:
-        return self._union("metrics")
+        """Per-partition fetch lineage rows emitted by the fetch UDF (T6)."""
+        return (
+            self._union("fetch_out")
+            .filter(F.col("row_type") == "metric")
+            .select(
+                "fetch_epoch", "urls_fetched", "links_discovered",
+                "payload_bytes", "wall_ms",
+            )
+        )
 
 
 def _bloom_expected(spec: SiteSpec) -> int:
@@ -169,9 +193,9 @@ def _bloom_add_from_df(bf: BloomFilter, hashes_df: DataFrame) -> None:
         local.add_many(h)
         yield local.bits
 
-    rdd = hashes_df.rdd.mapPartitions(part)
-    if rdd.isEmpty():
-        return
+    # few fat partitions: each yields an m/8-byte bitmap, so the reduce cost
+    # is partitions × bitmap, not rows
+    rdd = hashes_df.coalesce(8).rdd.mapPartitions(part)
     bf.bits |= rdd.treeReduce(np.bitwise_or)
 
 
@@ -191,24 +215,28 @@ def _advance_politeness(
     spec: SiteSpec, politeness: DataFrame, active: DataFrame, taken: DataFrame | None
 ) -> DataFrame:
     """Token-bucket transition (T2): refill only hosts with pending rows this
-    epoch (spec shared with refsim — idle hosts keep stale tokens)."""
+    epoch (spec shared with refsim — idle hosts keep stale tokens). One left
+    join tree (no inner/anti/union split) so the update is a single stage."""
     refill = float(spec.rate_per_sec * spec.epoch_seconds)
-    pol_active = politeness.join(active, "host", "inner")
+    out = politeness.join(
+        active.withColumn("_active", F.lit(1)), "host", "left"
+    )
     if taken is not None:
-        pol_active = pol_active.join(taken, "host", "left").fillna(
-            0, subset=["n_taken"]
-        )
+        out = out.join(taken, "host", "left")
     else:
-        pol_active = pol_active.withColumn("n_taken", F.lit(0))
-    pol_active = pol_active.withColumn(
+        out = out.withColumn("n_taken", F.lit(None).cast("long"))
+    return out.withColumn(
         "tokens",
-        F.least(
-            F.lit(float(spec.burst)),
-            F.col("tokens") - F.col("n_taken") + F.lit(refill),
-        ),
-    ).drop("n_taken")
-    pol_idle = politeness.join(active, "host", "left_anti")
-    return pol_active.unionByName(pol_idle)
+        F.when(
+            F.col("_active").isNotNull(),
+            F.least(
+                F.lit(float(spec.burst)),
+                F.col("tokens")
+                - F.coalesce(F.col("n_taken"), F.lit(0))
+                + F.lit(refill),
+            ),
+        ).otherwise(F.col("tokens")),
+    ).drop("n_taken", "_active")
 
 
 def run_epoch(
@@ -221,26 +249,49 @@ def run_epoch(
     below 1 token) still commits: politeness refills and virtual time
     advances, matching the simulator's cadence exactly."""
     frontier = ck.read_table(spark, ckpt, epoch, "frontier").persist()
-    n_frontier = frontier.count()
-    if n_frontier == 0:
-        frontier.unpersist()
-        return 0, 0
     politeness = ck.read_table(spark, ckpt, epoch, "politeness")
     robots = ck.read_table(spark, ckpt, 0, "robots")
     out_epoch = epoch + 1
+    budgets = politeness.withColumn("budget", F.floor("tokens").cast("int"))
+
+    # one tiny agg decides everything the driver needs: total pending and
+    # whether any host's pending exceeds its budget (if not, the per-host
+    # top-k window — the only sort in the loop — is skipped entirely; this
+    # is the steady-state fast path when politeness isn't the binding
+    # constraint, and the drain phase of every crawl)
+    pending_stats = (
+        frontier.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pending"))
+        .join(F.broadcast(budgets), "host", "left")
+        .agg(
+            F.sum("n_pending").alias("n_frontier"),
+            F.max(
+                F.when(F.col("n_pending") > F.col("budget"), 1).otherwise(0)
+            ).alias("constrained"),
+        )
+        .first()
+    )
+    n_frontier = int(pending_stats["n_frontier"] or 0)
+    if n_frontier == 0:
+        frontier.unpersist()
+        return 0, 0
     active = frontier.select("host").distinct()
 
-    budgets = politeness.withColumn("budget", F.floor("tokens").cast("int"))
-    wsel = W.partitionBy("host").orderBy(*ORDER_KEY)
-    ranked = (
-        frontier.join(F.broadcast(budgets), "host", "left")
-        .withColumn("rn", F.row_number().over(wsel))
-        .persist()
-    )
-    selected = ranked.filter(F.col("rn") <= F.col("budget")).select(*FRONTIER_COLS)
-    remaining = ranked.filter(F.col("rn") > F.col("budget")).select(*FRONTIER_COLS)
-
-    n_selected = selected.count()
+    ranked = None
+    if pending_stats["constrained"] == 0:
+        selected = frontier.select(*FRONTIER_COLS)
+        remaining = frontier.select(*FRONTIER_COLS).limit(0)
+        n_selected = n_frontier
+    else:
+        wsel = W.partitionBy("host").orderBy(*ORDER_KEY)
+        ranked = (
+            frontier.join(F.broadcast(budgets), "host", "left")
+            .withColumn("rn", F.row_number().over(wsel))
+            .persist()
+        )
+        selected = ranked.filter(F.col("rn") <= F.col("budget")).select(*FRONTIER_COLS)
+        remaining = ranked.filter(F.col("rn") > F.col("budget")).select(*FRONTIER_COLS)
+        n_selected = selected.count()
     if n_selected == 0:
         # virtual-time tick: refill buckets, carry frontier unchanged
         ck.write_table(frontier.select(*FRONTIER_COLS), ckpt, out_epoch, "frontier")
@@ -259,36 +310,33 @@ def run_epoch(
             out_epoch,
             {"processed_epoch": epoch, "urls_fetched": 0, "urls_admitted": 0},
         )
-        ranked.unpersist()
+        if ranked is not None:
+            ranked.unpersist()
         frontier.unpersist()
         return n_frontier, 0
 
-    # ---- fetch (payloads stay partition-local; written before any shuffle)
+    # ---- fetch (payloads stay partition-local; written exactly once before
+    # any shuffle — partitionBy(row_type) lets every downstream reader prune
+    # the heavy payload files away; parquet compression off because image
+    # payloads are already entropy-dense)
     fetch_out_path = ck.table_path(ckpt, out_epoch, "fetch_out")
-    selected.mapInPandas(make_fetcher(spec), schema=FETCH_OUT_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(fetch_out_path)
+    # fetch tasks must be sized by fetch *cost*, not by input bytes: the
+    # frontier rows are ~100 B each, so a byte-based scan split would run a
+    # million-URL fetch on two cores. Round-robin to 2× task slots.
+    fetch_par = spark.sparkContext.defaultParallelism * 2
+    (
+        selected.repartition(fetch_par)
+        .mapInPandas(make_fetcher(spec, epoch), schema=FETCH_OUT_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("row_type")
+        .option("compression", "none")
+        .parquet(fetch_out_path)
+    )
     fetch_out = spark.read.parquet(fetch_out_path)
 
     ck.write_table(
         selected.withColumn("epoch", F.lit(epoch)), ckpt, out_epoch, "crawl_log"
     )
-    payloads = fetch_out.filter(F.col("row_type") == "payload").drop("row_type", "route")
-    ck.write_table(
-        payloads.withColumn("fetch_epoch", F.lit(epoch)), ckpt, out_epoch, "fetched"
-    )
-
-    # ---- metrics / lineage per output partition (T6)
-    metrics = (
-        fetch_out.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count(F.when(F.col("row_type") == "payload", 1)).alias("urls_fetched"),
-            F.count(F.when(F.col("row_type") == "link", 1)).alias("links_discovered"),
-            F.coalesce(F.sum(F.length("bytes")), F.lit(0)).alias("payload_bytes"),
-        )
-        .withColumn("epoch", F.lit(epoch))
-    )
-    ck.write_table(metrics, ckpt, out_epoch, "metrics")
 
     # ---- admission: route filter → robots → keep-first → bloom+anti-join
     links = (
@@ -310,11 +358,13 @@ def run_epoch(
         )
         .drop("disallow_prefixes", "_path")
     )
-    wdup = W.partitionBy("url").orderBy(*ORDER_KEY)
+    # keep-first within the epoch: min-struct aggregation (one partial+final
+    # hash agg — no sort, cheaper than a row_number window; the admission
+    # key leads the struct so lexicographic min IS first-occurrence)
     cand = (
-        links.withColumn("_rn", F.row_number().over(wdup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        links.groupBy("url")
+        .agg(F.min(F.struct(*ORDER_KEY, "kind", "host")).alias("_first"))
+        .select("url", "_first.*")
         .withColumn("url_hash", url_hash64("url"))
     )
 
@@ -360,7 +410,8 @@ def run_epoch(
     )
 
     if use_bloom and bf is not None:
-        _bloom_add_from_df(bf, admitted.select("url_hash"))
+        if n_admitted > 0:
+            _bloom_add_from_df(bf, admitted.select("url_hash"))
         bf.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
 
     ck.commit_epoch(
@@ -372,12 +423,74 @@ def run_epoch(
             "urls_admitted": n_admitted,
         },
     )
-    ranked.unpersist()
+    if ranked is not None:
+        ranked.unpersist()
     frontier.unpersist()
     if use_bloom:
         cand.unpersist()
     admitted.unpersist()
     return n_frontier, n_selected
+
+
+def init_steady_frontier(
+    spark: SparkSession, spec: SiteSpec, ckpt: str, n_urls: int
+) -> None:
+    """Steady-state bench setup: a frontier preloaded with `n_urls` pending
+    detail URLs across `spec.n_hosts` hosts — the regime every epoch of a
+    10^10-URL crawl lives in (frontier ≫ per-epoch budget is the *politeness*
+    constraint; here budgets are open so the epoch measures scheduler +
+    fetch + payload throughput, the BASELINE.json metric)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "priority": np.zeros(len(ids), dtype=np.int32),
+                    "disc_epoch": np.zeros(len(ids), dtype=np.int32),
+                    "seed_idx": (ids % 2_000_000_000).astype(np.int32),
+                    "page_idx": np.zeros(len(ids), dtype=np.int32),
+                    "pos": (ids % 2_000_000_000).astype(np.int32),
+                    "kind": "detail",
+                    "url": [
+                        f"https://h{i % spec.n_hosts}.test/detail/ss{i}" for i in ids
+                    ],
+                    "host": [f"h{i % spec.n_hosts}.test" for i in ids],
+                }
+            )
+
+    frontier = spark.range(n_urls).repartition(32).mapInPandas(
+        gen,
+        schema="priority int, disc_epoch int, seed_idx int, page_idx int,"
+        " pos int, kind string, url string, host string",
+    )
+    ck.write_table(frontier.select(*FRONTIER_COLS), ckpt, 0, "frontier")
+    ck.write_table(
+        frontier.select(
+            "url", url_hash64("url").alias("url_hash"), F.lit(0).alias("admit_epoch")
+        ),
+        ckpt,
+        0,
+        "seen_new",
+    )
+    hosts = spark.createDataFrame(
+        [(f"h{i}.test",) for i in range(spec.n_hosts)], ["host"]
+    )
+    ck.write_table(
+        hosts.withColumn("tokens", F.lit(float(spec.burst))), ckpt, 0, "politeness"
+    )
+    ck.write_table(
+        hosts.withColumn(
+            "disallow_prefixes", F.array().cast("array<string>")
+        ),
+        ckpt,
+        0,
+        "robots",
+    )
+    bf = BloomFilter(max(n_urls, 1024))
+    _bloom_add_from_df(bf, spark.read.parquet(ck.table_path(ckpt, 0, "seen_new")).select("url_hash"))
+    bf.save(os.path.join(ck.epoch_dir(ckpt, 0), "bloom.npz"))
+    ck.commit_epoch(ckpt, 0, {"n_urls": n_urls, "kind": "steady_state_init"})
 
 
 def run_crawl(

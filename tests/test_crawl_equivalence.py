@@ -72,8 +72,9 @@ def test_payload_invariants(crawl, sim):
 
 def test_metrics_lineage(crawl, sim):
     m = crawl.metrics().collect()
-    assert sum(r.urls_fetched for r in m) == len(sim.fetched_details)
-    assert all(r.payload_bytes >= 0 for r in m)
+    assert sum(r.urls_fetched for r in m) == len(sim.crawl_order)
+    assert sum(r.payload_bytes for r in m) > 0
+    assert all(r.wall_ms >= 0 for r in m)
 
 
 def test_resume_byte_identical(spark, crawl, sim):
