@@ -14,17 +14,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from gov_procurement_spider_spark.plans import relational  # noqa: E402
+from gov_procurement_spider_spark.plans import (  # noqa: E402,F401
+    ml_ops,  # registration side effects
+    registry,
+    relational,
+    report_ops,
+    text_ops,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return relational.queries()["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return registry.queries()["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return relational.queries()
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return relational.oracle_sql()
+    return registry.oracle_sql()

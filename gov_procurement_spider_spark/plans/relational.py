@@ -15,33 +15,12 @@ Conventions for oracle parity:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# registry: name -> (spark_fn, oracle_sql | None)
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+from .registry import register
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,412 @@
+"""Training-data text operators over the `documents` table: token counting,
+quality scoring, language-ID heuristic, document fingerprinting, and the
+dedup family (exact, n-gram Jaccard, MinHash+LSH banding, SimHash) — the
+operations a 100 TB pretraining-data pipeline runs after the crawl stage.
+
+All pure column expressions (no Python in the hot path); every query has a
+DuckDB oracle. Cross-engine 60-bit hash: int of the first 15 hex chars of
+md5 — `conv(substring(md5(s),1,15),16,10)` in Spark,
+`CAST('0x'||substr(md5(s),1,15) AS BIGINT)` in DuckDB.
+
+Scale notes (the 100 TB story):
+- every dedup here is shuffle-on-key (fingerprint / shingle / band / bit):
+  partial aggregation happens map-side, and shingle explosion is bounded by
+  document length, so the shuffle volume is O(tokens), never O(pairs);
+- pairwise similarity is only ever computed *within* a bucket (shared
+  shingle, LSH band) — the cross join never materializes;
+- MinHash banding keys are tiny (band hash), so the bucket join is a
+  hash-partitioned equi-join that AQE can skew-split if one bucket is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _h64(col):
+    """60-bit md5-prefix hash, identical in DuckDB (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_H64_DUCK = "CAST('0x'||substr(md5({0}),1,15) AS BIGINT)"
+
+_TOKENS_SPARK = lambda c: F.split(c, " ")  # noqa: E731 - docs are single-space word streams
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx1_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+)
+def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the unit of truth for training-data
+    budgeting. Pure split+size, codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_TOKENS_SPARK(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@register(
+    "tx2_quality_score",
+    """
+    SELECT doc_id,
+           round(len(list_distinct(string_split(text,' ')))
+                 / len(string_split(text,' ')), 4)           AS distinct_ratio,
+           round(length(replace(text,' ','')) * 1.0
+                 / len(string_split(text,' ')), 4)           AS mean_word_len,
+           CASE WHEN len(string_split(text,' ')) >= 20
+                 AND len(list_distinct(string_split(text,' ')))
+                     / len(string_split(text,' ')) > 0.3
+                THEN 'keep' ELSE 'drop' END                  AS quality_class
+    FROM documents
+    """,
+)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: lexical diversity + mean word length + a keep/drop
+    gate — the Gopher-rules shape (length & repetition filters)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _TOKENS_SPARK(F.col("text"))
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    return d.select(
+        "doc_id",
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(F.length(F.regexp_replace("text", " ", "")) / n, 4).alias(
+            "mean_word_len"
+        ),
+        F.when((n >= 20) & (distinct_ratio > 0.3), "keep")
+        .otherwise("drop")
+        .alias("quality_class"),
+    )
+
+
+@register(
+    "tx3_lang_id",
+    """
+    SELECT doc_id, lang AS labeled,
+           CASE
+             WHEN length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) > 0
+               THEN 'zh'
+             WHEN list_contains(string_split(text,' '), 'the')
+               OR list_contains(string_split(text,' '), 'a')
+               THEN 'en'
+             ELSE 'other'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: CJK-codepoint presence, else stopword hit —
+    the n-gram-free fast path of a fastText-style gate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _TOKENS_SPARK(F.col("text"))
+    n_cjk = F.length("text") - F.length(F.regexp_replace("text", "[一-龥]", ""))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled"),
+        F.when(n_cjk > 0, "zh")
+        .when(
+            F.array_contains(toks, "the") | F.array_contains(toks, "a"), "en"
+        )
+        .otherwise("other")
+        .alias("lang_pred"),
+    )
+
+
+@register(
+    "tx4_fingerprint",
+    f"""
+    SELECT doc_id,
+           {_H64_DUCK.format("replace(lower(text),' ','')")} AS fingerprint
+    FROM documents
+    """,
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: 60-bit hash of the normalized text (whitespace
+    squashed, lowercased) — the exact-dedup key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _h64(F.replace(F.lower(F.col("text")), F.lit(" "), F.lit(""))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd1_exact_dedup",
+    f"""
+    SELECT fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM (
+      SELECT doc_id,
+             {_H64_DUCK.format("replace(lower(text),' ','')")} AS fingerprint
+      FROM documents
+    )
+    GROUP BY fingerprint
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint, keep the smallest id —
+    the D1 keep-first rule generalized to content identity."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            _h64(F.replace(F.lower(F.col("text")), F.lit(" "), F.lit(""))).alias(
+                "fingerprint"
+            ),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_SHINGLES_DUCK = """
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(string_split(text,' ')) - 2),
+                 i -> string_split(text,' ')[i] || ' ' ||
+                      string_split(text,' ')[i+1] || ' ' ||
+                      string_split(text,' ')[i+2])) AS shs
+        FROM documents
+      ), unnest(shs) AS t(shingle)
+"""
+
+
+def _shingles_spark(d: DataFrame) -> DataFrame:
+    toks = _TOKENS_SPARK(F.col("text"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+@register(
+    "dd2_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.3
+    """,
+)
+def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-gram shingle Jaccard ≥ 0.3. The pair space is
+    generated ONLY through the shared-shingle join (inverted index), never a
+    cross join — at 100 TB the shuffle is O(total shingles), and hot shingles
+    (boilerplate) would be capped by a df-frequency filter."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles_spark(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("n_common") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(j >= 0.3)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+    )
+
+
+_N_MINHASH = 8
+
+_MINHASH_DUCK = f"""
+      SELECT doc_id, seed, min({_H64_DUCK.format("seed || ':' || shingle")}) AS minhash
+      FROM ({_SHINGLES_DUCK}), unnest([0,1,2,3,4,5,6,7]) AS s(seed)
+      GROUP BY doc_id, seed
+"""
+
+
+def _minhash_spark(d: DataFrame) -> DataFrame:
+    sh = _shingles_spark(d)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                _h64(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+@register("dd3_minhash_signature", f"SELECT doc_id, seed, minhash FROM ({_MINHASH_DUCK})")
+def dd3_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8): min over hashed shingles per seed — one
+    hash-agg after the shingle explode; signature size is constant per doc."""
+    return _minhash_spark(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "seed", "minhash"
+    )
+
+
+@register(
+    "dd4_minhash_lsh_pairs",
+    f"""
+    WITH mh AS ({_MINHASH_DUCK}),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH: 4 bands × 2 rows — candidate pairs are docs sharing any
+    band key. The join key is the (band, band_key) bucket, so candidate
+    generation is linear in docs, not quadratic."""
+    mh = _minhash_spark(load_table(spark, sf_dir, "documents"))
+    bands = (
+        mh.withColumn("band", (F.col("seed") / 2).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_N_SIMHASH_BITS = 32
+
+# 48-bit token hash: exactly representable as a double in BOTH engines, so
+# floor(h / 2^bit) % 2 is exact bit extraction everywhere
+_H48_DUCK = "CAST('0x'||substr(md5({0}),1,12) AS BIGINT)"
+
+
+def _h48(col):
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+@register(
+    "dd5_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, token, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents
+      ) GROUP BY doc_id, token
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN ({_H48_DUCK.format("token")} // power(2, b.bit)::BIGINT) % 2 = 1
+                      THEN tf ELSE -tf END) AS s
+      FROM tok, unnest(generate_series(0, {_N_SIMHASH_BITS - 1})) AS b(bit)
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN power(2, bit)::BIGINT ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, tf-weighted): per (doc, bit) signed sums → sign bits
+    assembled into one long. Explode factor is 32× tokens — linear, map-side
+    combinable, no pairwise work until hamming bucketing."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_TOKENS_SPARK(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bits = (
+        tok.select(
+            "doc_id",
+            "tf",
+            _h48(F.col("token")).alias("th"),
+            F.explode(F.sequence(F.lit(0), F.lit(_N_SIMHASH_BITS - 1))).alias("bit"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(
+                F.floor(F.col("th") / F.pow(F.lit(2), F.col("bit"))).cast("long") % 2
+                == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
