@@ -16,6 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from gov_procurement_spider_spark.plans import (  # noqa: E402,F401
     ml_ops,  # registration side effects
+    olap_extra,
     registry,
     relational,
     report_ops,

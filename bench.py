@@ -25,8 +25,19 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from gov_procurement_spider_spark.plans import relational  # noqa: E402
-from gov_procurement_spider_spark.plans.crawl import run_crawl  # noqa: E402
+from gov_procurement_spider_spark.plans import (  # noqa: E402,F401
+    ml_ops,
+    olap_extra,
+    registry as qregistry,
+    relational,
+    report_ops,
+    text_ops,
+)
+from gov_procurement_spider_spark.plans.crawl import (  # noqa: E402
+    init_steady_frontier,
+    run_crawl,
+    run_epoch,
+)
 from gov_procurement_spider_spark.session import get_spark  # noqa: E402
 from gov_procurement_spider_spark.sources.site_model import SiteSpec  # noqa: E402
 
@@ -39,6 +50,10 @@ HEADLINE = [
     "o2_topk_per_group",
     "a2_collapse_concat",
     "w3_fill_forward",
+    "e2_delimiter_split",
+    "dd2_ngram_jaccard",
+    "dd4_minhash_lsh_pairs",
+    "ml1_cosine_topk",
 ]
 
 # throughput-mode site: politeness effectively unconstrained so the scheduler,
@@ -61,7 +76,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
-    registry = relational.queries()
+    registry = qregistry.queries()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -75,7 +90,7 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
-    # crawl throughput (the BASELINE.json metric)
+    # full-site crawl (pagination + dedup + politeness machinery end-to-end)
     ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         t0 = time.perf_counter()
@@ -86,6 +101,24 @@ def main() -> None:
         shutil.rmtree(ckpt, ignore_errors=True)
     timings["crawl_synthetic_site"] = round(crawl_sec, 4)
     total += crawl_sec
+
+    # steady-state epoch throughput (the BASELINE.json metric's regime:
+    # frontier ≫ budget, one huge scheduling+fetch pass)
+    ss_urls = int(os.environ.get("SPARK_GRAFT_SS_URLS", "50000"))
+    ss_spec = SiteSpec(
+        n_hosts=64, rate_per_sec=float(ss_urls), burst=float(ss_urls), max_dim=96
+    )
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ss_ckpt = tempfile.mkdtemp(prefix="bench_ss_", dir=tmp_root)
+    try:
+        init_steady_frontier(spark, ss_spec, ss_ckpt, ss_urls)
+        t0 = time.perf_counter()
+        run_epoch(spark, ss_spec, ss_ckpt, 0)
+        ss_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(ss_ckpt, ignore_errors=True)
+    timings["crawl_steady_state_epoch"] = round(ss_sec, 4)
+    total += ss_sec
 
     print(
         json.dumps(
@@ -100,6 +133,11 @@ def main() -> None:
                     "sec": round(crawl_sec, 4),
                     "urls_per_sec": round(n_urls / crawl_sec, 2),
                     "epochs": res.epochs,
+                },
+                "steady_state": {
+                    "urls": ss_urls,
+                    "sec": round(ss_sec, 4),
+                    "urls_per_sec": round(ss_urls / ss_sec, 2),
                 },
                 "cpus": int(cpus),
             }

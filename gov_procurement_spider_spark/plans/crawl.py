@@ -368,8 +368,11 @@ def run_epoch(
         .withColumn("url_hash", url_hash64("url"))
     )
 
+    # zero-fetch (virtual-time) epochs commit no seen_new dir — skip them
     seen_paths = [
-        ck.table_path(ckpt, e, "seen_new") for e in range(0, epoch + 1)
+        p
+        for e in range(0, epoch + 1)
+        if os.path.isdir(p := ck.table_path(ckpt, e, "seen_new"))
     ]
     seen = spark.read.parquet(*seen_paths).select("url")
 

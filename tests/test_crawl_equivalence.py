@@ -99,6 +99,23 @@ def test_resume_byte_identical(spark, crawl, sim):
     assert base_payloads == res_payloads
 
 
+def test_fractional_rate_engine_equivalence(spark):
+    """rate*epoch < 1 ⇒ zero-fetch virtual-time epochs interleave; the engine
+    must refill buckets, keep committing, and still match the simulator
+    (regression: zero-fetch epochs write no seen_new dir)."""
+    spec = SiteSpec(
+        n_seeds=2, n_hosts=1, detail_space=20, max_list_pages=2,
+        rate_per_sec=0.25, burst=1.0, epoch_seconds=2.0,
+    )
+    sim_f = simulate(spec)
+    assert sim_f.epochs > len({row[0] for row in sim_f.crawl_order})
+    ckpt = tempfile.mkdtemp(prefix="crawl_frac_")
+    res = run_crawl(spark, spec, ckpt)
+    engine = [tuple(r) for r in res.crawl_order().select(*ORDER_COLS).collect()]
+    assert engine == [tuple(o) for o in sim_f.crawl_order]
+    assert {r.url for r in res.seen().collect()} == sim_f.url_seen
+
+
 def test_bloom_off_equivalence(spark, sim):
     """Bloom is an optimization, never semantics: identical output with it off."""
     ckpt = tempfile.mkdtemp(prefix="crawl_nobloom_")
