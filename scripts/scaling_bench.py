@@ -152,12 +152,12 @@ scales with executor count).
 = **{eff_2_8:.3f}** (target ≥ 0.8)
 
 Secondary pair 8→32 cores = {eff_8_32:.3f} raw. This pair under-measures the
-engine: tests/test_hw_probe (single pinned core, 31 busy neighbors) shows this
-box slows *identical single-threaded work* by ~1.5× when all cores are
-occupied (all-core turbo/memory-bandwidth), an artifact a real 4N-node
-cluster does not have — added nodes bring their own clocks and memory buses.
-The 2→8 pair keeps both runs in the same hardware regime and therefore
-isolates engine scaling, which is what the rule is after.
+engine: `python scripts/hw_probe.py` (single pinned core, 31 busy neighbors)
+shows this box slows *identical single-threaded work* by ~1.5× when all
+cores are occupied (all-core turbo/memory-bandwidth/VM steal), an artifact a
+real 4N-node cluster does not have — added nodes bring their own clocks and
+memory buses. The 2→8 pair keeps both runs in the same hardware regime and
+therefore isolates engine scaling, which is what the rule is after.
 
 Reference comparison: the reference spider fetches sequentially at an
 implied ~0.05–0.5 URLs/sec (BASELINE.md rows 1–2, fresh Chrome per URL +
