@@ -71,8 +71,27 @@ class CrawlResult:
 
     def crawl_order(self) -> DataFrame:
         """Total crawl order: (epoch, host, key...) ascending — the proof
-        artifact compared against refsim (north rule)."""
-        return self._union("crawl_log").orderBy(["epoch", "host"] + ORDER_KEY)
+        artifact compared against refsim (north rule). Fast-path epochs that
+        fetched the whole frontier record a manifest pointer instead of
+        re-writing the log; reassemble from the frontier snapshot."""
+        parts = []
+        for e in ck.committed_epochs(self.ckpt):
+            log_dir = ck.table_path(self.ckpt, e, "crawl_log")
+            if os.path.isdir(log_dir):
+                parts.append(self.spark.read.parquet(log_dir))
+                continue
+            man = ck.read_manifest(self.ckpt, e)
+            if man.get("crawl_log_from_frontier") and man.get("urls_fetched", 0):
+                pe = man["processed_epoch"]
+                parts.append(
+                    ck.read_table(self.spark, self.ckpt, pe, "frontier")
+                    .select(*FRONTIER_COLS)
+                    .withColumn("epoch", F.lit(pe))
+                )
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out.orderBy(["epoch", "host"] + ORDER_KEY)
 
     def fetched(self) -> DataFrame:
         """Payload rows (input_hint schema + provenance), partition-pruned
@@ -334,9 +353,55 @@ def run_epoch(
     )
     fetch_out = spark.read.parquet(fetch_out_path)
 
-    ck.write_table(
-        selected.withColumn("epoch", F.lit(epoch)), ckpt, out_epoch, "crawl_log"
+    # crawl_log is the proof artifact; when the fast path selected the WHOLE
+    # frontier, it is byte-equal to the epoch's frontier snapshot — record a
+    # manifest pointer instead of re-writing it (CrawlResult reassembles)
+    log_is_frontier = pending_stats["constrained"] == 0
+    if not log_is_frontier:
+        ck.write_table(
+            selected.withColumn("epoch", F.lit(epoch)), ckpt, out_epoch, "crawl_log"
+        )
+
+    # the fetcher's lineage rows say whether anything was discovered — a
+    # tiny partition-pruned read that lets pure-payload epochs (steady
+    # state, drain) skip the entire admission machinery
+    n_links = (
+        fetch_out.filter(F.col("row_type") == "metric")
+        .agg(F.coalesce(F.sum("links_discovered"), F.lit(0)))
+        .first()[0]
     )
+
+    if n_links == 0:
+        ck.write_table(remaining, ckpt, out_epoch, "frontier")
+        ck.write_table(
+            _advance_politeness(
+                spec,
+                politeness,
+                active,
+                selected.groupBy("host").agg(F.count(F.lit(1)).alias("n_taken")),
+            ),
+            ckpt,
+            out_epoch,
+            "politeness",
+        )
+        if use_bloom:
+            BloomFilter.load(
+                os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz")
+            ).save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+        ck.commit_epoch(
+            ckpt,
+            out_epoch,
+            {
+                "processed_epoch": epoch,
+                "urls_fetched": n_selected,
+                "urls_admitted": 0,
+                "crawl_log_from_frontier": log_is_frontier,
+            },
+        )
+        if ranked is not None:
+            ranked.unpersist()
+        frontier.unpersist()
+        return n_frontier, n_selected
 
     # ---- admission: route filter → robots → keep-first → bloom+anti-join
     links = (
@@ -424,6 +489,7 @@ def run_epoch(
             "processed_epoch": epoch,
             "urls_fetched": n_selected,
             "urls_admitted": n_admitted,
+            "crawl_log_from_frontier": log_is_frontier,
         },
     )
     if ranked is not None:
