@@ -20,6 +20,7 @@ from gov_procurement_spider_spark.plans import (  # noqa: E402,F401
     registry,
     relational,
     report_ops,
+    string_ops,
     text_ops,
 )
 
