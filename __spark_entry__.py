@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from gov_procurement_spider_spark.plans import (  # noqa: E402,F401
-    ml_ops,  # registration side effects
+    crawl_query,  # registration side effects
+    ml_ops,
     olap_extra,
     registry,
     relational,

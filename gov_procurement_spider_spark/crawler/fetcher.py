@@ -105,6 +105,17 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True):
                             )
                         )
                         n_links += 1
+                elif sm.fetch_fails(spec, r.url):
+                    # failed fetch: consumed its politeness slot, recorded
+                    # for lineage, no payload (ref main.py:124-127 skips)
+                    out.append(
+                        dict(
+                            _BASE, row_type="failed", fetch_epoch=epoch,
+                            priority=r.priority, disc_epoch=r.disc_epoch,
+                            seed_idx=r.seed_idx, page_idx=r.page_idx,
+                            pos=r.pos, kind="detail", url=r.url, host=r.host,
+                        )
+                    )
                 else:  # detail leaf → image+caption payload
                     meta = sm.payload_meta(spec, r.url)
                     pixels = images.gen_pixels(

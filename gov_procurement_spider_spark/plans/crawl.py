@@ -106,6 +106,14 @@ class CrawlResult:
             )
         )
 
+    def failed(self) -> DataFrame:
+        """Failed fetches (consumed budget, no payload; ref main.py:124-127)."""
+        return (
+            self._union("fetch_out")
+            .filter(F.col("row_type") == "failed")
+            .select("url", "host", "fetch_epoch", *ORDER_KEY)
+        )
+
     def seen(self) -> DataFrame:
         return self._union("seen_new")
 

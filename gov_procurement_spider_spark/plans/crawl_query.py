@@ -1,0 +1,64 @@
+"""Driver-visible crawl queries (rows-only checks — the crawl is not
+SQL-expressible; its real correctness gate is tests/test_crawl_equivalence.py
+where the engine must match the sequential reference simulator exactly).
+
+A small fast-cadence synthetic crawl runs once per session (memoized) and
+feeds three views: the crawl-order proof artifact, the 13-column records
+table, and the final report — the reference's full §3 lifecycle end-to-end.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.site_model import SiteSpec
+from .registry import register
+
+_SPEC = SiteSpec(
+    n_seeds=4,
+    n_hosts=2,
+    detail_space=40,
+    max_list_pages=2,
+    rate_per_sec=100.0,
+    burst=200.0,
+    fail_permille=100,
+)
+
+_memo: dict[int, object] = {}
+
+
+def _crawl(spark: SparkSession):
+    from .crawl import run_crawl
+
+    key = id(spark)
+    if key not in _memo:
+        _memo[key] = run_crawl(spark, _SPEC, tempfile.mkdtemp(prefix="crawlq_"))
+    return _memo[key]
+
+
+@register("crawl_end_to_end", None)
+def crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl of the synthetic site (frontier → politeness → fetch →
+    dedup → commit), returning the total crawl order."""
+    return _crawl(spark).crawl_order()
+
+
+@register("crawl_fetched_payloads", None)
+def crawl_fetched_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint payload table produced by the crawl (bytes pruned here —
+    the driver hashes values; binary payloads are validated per-row in
+    tests/test_crawl_equivalence.py::test_payload_invariants)."""
+    return _crawl(spark).fetched().select(
+        "image_id", "w", "h", "fmt", "caption", "phash", "url", "host"
+    )
+
+
+@register("crawl_records_report", None)
+def crawl_records_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """records → split → report over the crawl output (ref §3.2 lifecycle
+    fused into one plan; see plans/records_pipeline.py)."""
+    from .records_pipeline import records_from_fetched, report_from_records
+
+    return report_from_records(records_from_fetched(_crawl(spark).fetched()))

@@ -84,8 +84,11 @@ def simulate(spec: SiteSpec, max_epochs: int = 100_000) -> SimResult:
         for prio, de, i, p, pos, kind, url, host in fetched_this_epoch:
             res.crawl_order.append((epoch, host, prio, de, i, p, pos, kind, url))
             if kind == "detail":
-                meta = sm.payload_meta(spec, url)
-                res.fetched_details.append({"url": url, **meta})
+                if sm.fetch_fails(spec, url):
+                    res.extra.setdefault("failed", []).append(url)
+                else:
+                    meta = sm.payload_meta(spec, url)
+                    res.fetched_details.append({"url": url, **meta})
                 continue
             # list page: admit next page + this page's detail links
             if p < sm.n_list_pages(spec, i):

@@ -59,6 +59,9 @@ class SiteSpec:
     epoch_seconds: float = 2.0
     # payload
     max_dim: int = 64  # w,h in [8, 8+max_dim)
+    # fetch failures (ref main.py:124-127: failed fetches are skipped with a
+    # warning but still consumed a fetch slot); ‰ of detail fetches that fail
+    fail_permille: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +142,13 @@ def url_allowed(spec: SiteSpec, url: str) -> bool:
 # ---------------------------------------------------------------------------
 # detail payload (image + caption, input_hint schema)
 # ---------------------------------------------------------------------------
+
+
+def fetch_fails(spec: SiteSpec, detail_url: str) -> bool:
+    """Deterministic fetch-failure predicate (timeouts in the reference)."""
+    if spec.fail_permille <= 0:
+        return False
+    return h64(f"fail:{spec.seed}:{detail_url}") % 1000 < spec.fail_permille
 
 
 def payload_meta(spec: SiteSpec, detail_url: str) -> dict:

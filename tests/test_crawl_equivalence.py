@@ -116,6 +116,27 @@ def test_fractional_rate_engine_equivalence(spark):
     assert {r.url for r in res.seen().collect()} == sim_f.url_seen
 
 
+def test_failed_fetch_equivalence(spark):
+    """Fetch failures (ref main.py:124-127): failed URLs still consume their
+    politeness slot and appear in the crawl order, but yield no payload —
+    engine and simulator must agree on the exact failed set."""
+    spec = SiteSpec(
+        n_seeds=6, n_hosts=3, detail_space=60, max_list_pages=3,
+        rate_per_sec=2.0, burst=4.0, fail_permille=200,
+    )
+    sim_f = simulate(spec)
+    failed_sim = set(sim_f.extra.get("failed", []))
+    assert failed_sim, "failure injection produced no failures"
+    ckpt = tempfile.mkdtemp(prefix="crawl_fail_")
+    res = run_crawl(spark, spec, ckpt)
+    engine = [tuple(r) for r in res.crawl_order().select(*ORDER_COLS).collect()]
+    assert engine == [tuple(o) for o in sim_f.crawl_order]
+    assert {r.url for r in res.failed().collect()} == failed_sim
+    got_payload_urls = {r.url for r in res.fetched().collect()}
+    assert got_payload_urls == {d["url"] for d in sim_f.fetched_details}
+    assert got_payload_urls.isdisjoint(failed_sim)
+
+
 def test_bloom_off_equivalence(spark, sim):
     """Bloom is an optimization, never semantics: identical output with it off."""
     ckpt = tempfile.mkdtemp(prefix="crawl_nobloom_")
