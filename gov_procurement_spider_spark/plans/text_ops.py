@@ -263,25 +263,36 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_MINHASH = 8
 
+# double-hashing family: ONE md5 per shingle, k hashes by arithmetic
+# h_s = h1 + s·h2 with h1/h2 = two 48-bit md5 slices (h2 forced odd).
+# Max value ≈ 2^48 + 7·2^48 < 2^52 — exact in BIGINT in both engines.
 _MINHASH_DUCK = f"""
-      SELECT doc_id, seed, min({_H64_DUCK.format("seed || ':' || shingle")}) AS minhash
-      FROM ({_SHINGLES_DUCK}), unnest([0,1,2,3,4,5,6,7]) AS s(seed)
-      GROUP BY doc_id, seed
+      SELECT doc_id, s.seed,
+             min(CAST('0x'||substr(md5(shingle),1,12) AS BIGINT)
+                 + s.seed * (CAST('0x'||substr(md5(shingle),13,12) AS BIGINT) | 1)
+                ) AS minhash
+      FROM ({_SHINGLES_DUCK}), unnest(generate_series(0, {_N_MINHASH - 1})) AS s(seed)
+      GROUP BY doc_id, s.seed
 """
 
 
 def _minhash_spark(d: DataFrame) -> DataFrame:
+    """All k minima in ONE aggregation pass over the shingle explode (no ×k
+    row blow-up, ONE md5 per shingle — the k-hash family is h1 + seed·h2),
+    then a stack() unpivot to the (doc_id, seed, minhash) signature shape."""
     sh = _shingles_spark(d)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_MINHASH - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                _h64(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    h1 = _h48(F.col("shingle"))
+    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 13, 12), 16, 10).cast(
+        "long"
+    ).bitwiseOR(F.lit(1))
+    wide = sh.groupBy("doc_id").agg(
+        *[F.min(h1 + F.lit(s) * h2).alias(f"_m{s}") for s in range(_N_MINHASH)]
     )
+    stack_expr = "stack({n}, {args}) as (seed, minhash)".format(
+        n=_N_MINHASH,
+        args=", ".join(f"{s}, _m{s}" for s in range(_N_MINHASH)),
+    )
+    return wide.select("doc_id", F.expr(stack_expr))
 
 
 @register("dd3_minhash_signature", f"SELECT doc_id, seed, minhash FROM ({_MINHASH_DUCK})")
