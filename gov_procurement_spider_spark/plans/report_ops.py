@@ -290,10 +290,13 @@ def j2_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
+      -- CAST: DuckDB's windowed sum over INT is HUGEINT, which .df()
+      -- materializes as float64 ('34.0' vs Spark's '34' in the value hash)
       SELECT user_id, event_id, ts,
-             sum(is_start) OVER (
+             CAST(sum(is_start) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pytest
 
 import __spark_entry__ as entrymod
@@ -29,13 +30,22 @@ def _duck():
 
 
 def _norm(v):
+    """Type-honest rendering. Integer-valued floats stay visibly float
+    ('34.0', never '34') so a DuckDB HUGEINT→float64 materialization can
+    NOT silently hash-match a Spark BIGINT — the exact divergence class
+    that slipped through round 1 (e3_sessionization)."""
     if v is None:
         return "∅"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "nan"
+            return "∅"  # .df() renders SQL NULL in numeric columns as NaN
+        if v.is_integer():
+            return f"{v:.1f}"
         return f"{v:.6g}"
-    if isinstance(v, bool):
+    if isinstance(v, (int, np.integer)):
         return str(int(v))
     return str(v)
 
@@ -62,9 +72,12 @@ def test_query_matches_oracle(spark, duck, name):
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # materialize via .df() exactly like the external driver — fetchall()
+    # gives Python ints for HUGEINT and would mask float64 materialization
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    duck_df = res.df()
+    duck_rows = list(duck_df.itertuples(index=False, name=None))
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: {spark_cols} vs {duck_cols}"
