@@ -147,9 +147,53 @@ def ml2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml3_ann_topk",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, p.plane, d.dim,
+             embedding[d.dim + 1]::DOUBLE * ({_SIGN_DUCK}) AS contrib
+      FROM embeddings,
+           unnest(generate_series(0, {_N_PLANES - 1})) AS p(plane),
+           unnest(generate_series(0, 63)) AS d(dim)
+    ),
+    sig AS (
+      SELECT vec_id, plane, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
+      FROM comp GROUP BY vec_id, plane
+    ),
+    buckets AS (
+      SELECT vec_id, sum(bit * power(2, plane)::BIGINT)::BIGINT AS bucket
+      FROM sig GROUP BY vec_id
+    ),
+    v AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id)
+    )
+    SELECT q_id, neighbor_id, sim FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ) WHERE rn <= {_TOP_K}
+    """,
+)
+def ml3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN dish, oracle-checked end-to-end (not just its
+    ingredients): LSH-bucket every vector, then cosine-rank top-{_TOP_K}
+    candidates *within* buckets only — the cross join never exists, so the
+    pair space is Σ_buckets n_b², linear for balanced buckets."""
+    return ann_lsh_topk(spark, sf_dir)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = _TOP_K) -> DataFrame:
-    """Composed ANN path (not oracle-checked — composition of the two checked
-    pieces): bucket vectors, then brute-force cosine *within* buckets only."""
+    """Composed ANN scale path: bucket vectors (ml2's signature), then
+    brute-force cosine *within* buckets only."""
     e = load_table(spark, sf_dir, "embeddings")
     buckets = ml2_ann_lsh_buckets(spark, sf_dir)
     v = e.join(buckets, "vec_id")

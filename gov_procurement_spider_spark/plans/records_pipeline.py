@@ -15,6 +15,8 @@ via F3-style regex extraction — vectorized column expressions, no Python.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,7 +128,36 @@ def report_from_records(records: DataFrame) -> DataFrame:
 def csv_compat_sink(df: DataFrame, path: str) -> None:
     """Reference-compatible CSV sink (main.py:161: utf-8-sig, na_rep='N/A').
     coalesce(1) mirrors the single-file contract — the Iceberg/parquet sink
-    is the real one at scale."""
+    is the real one at scale. Spark's CSV writer emits plain UTF-8, so the
+    utf-8-sig BOM the reference's pandas ``to_csv(encoding='utf-8-sig')``
+    produces is prepended to the single part file afterward (driver-side,
+    legal only because this sink is single-file by contract)."""
     df.na.fill("N/A").coalesce(1).write.mode("overwrite").option(
         "header", True
     ).csv(path)
+    for name in os.listdir(path):
+        if name.startswith("part-") and name.endswith(".csv"):
+            fp = os.path.join(path, name)
+            with open(fp, "rb") as f:
+                data = f.read()
+            if not data.startswith(b"\xef\xbb\xbf"):
+                with open(fp, "wb") as f:
+                    f.write(b"\xef\xbb\xbf" + data)
+                # the local ChecksumFileSystem's sidecar no longer matches
+                crc = os.path.join(path, f".{name}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+
+
+def csv_compat_source(spark, path: str) -> DataFrame:
+    """S5 CSV source (post_processor.py:29, converter.py:35: the reference
+    re-reads its own CSV between every stage). All-string schema inference
+    off, header on; 'N/A' stays a literal string (the reference's sentinel
+    travels through pandas as text, not NaN — nullValue is set to an
+    impossible token so Spark never nulls it)."""
+    return (
+        spark.read.option("header", True)
+        .option("encoding", "UTF-8")
+        .option("nullValue", "\x00never\x00")
+        .csv(path)
+    )

@@ -291,6 +291,47 @@ def j4_dim_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j3_correlated_lookup",
+    r"""
+    WITH noted AS (
+      SELECT o_orderkey,
+             'order handled by clerk#' || CAST(o_custkey % 25 AS VARCHAR)
+             || ' priority ' || o_orderpriority AS note
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey,
+           CAST(regexp_extract(note, 'clerk#(\d+)', 1) AS INT) AS clerk_zone,
+           n_name AS zone_name
+    FROM noted
+    JOIN nation ON CAST(regexp_extract(note, 'clerk#(\d+)', 1) AS INT)
+                   = n_nationkey
+    """,
+)
+def j3_correlated_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 correlated lookup join (hunan.py:141-144: regex-extract a key from
+    free text, then look the key up in a mapping): the extracted key becomes
+    an equi-join column, so what the reference does row-by-row with
+    ``re.search`` + ``dict[...]`` is one broadcast hash join — the lookup
+    table ships once, the fact side never shuffles. The note column is
+    synthesized (testdata has no free-text key field) before extraction."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    n = load_table(spark, sf_dir, "nation")
+    note = F.concat(
+        F.lit("order handled by clerk#"),
+        (F.col("o_custkey") % 25).cast("string"),
+        F.lit(" priority "),
+        F.col("o_orderpriority"),
+    )
+    noted = o.select("o_orderkey", note.alias("note"))
+    key = F.regexp_extract("note", r"clerk#(\d+)", 1).cast("int").alias("clerk_zone")
+    return (
+        noted.select("o_orderkey", key)
+        .join(F.broadcast(n), F.col("clerk_zone") == n.n_nationkey)
+        .select("o_orderkey", "clerk_zone", F.col("n_name").alias("zone_name"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # W/O: windows, ranking, top-k (SURVEY §2.6, §2.9)
 # ---------------------------------------------------------------------------

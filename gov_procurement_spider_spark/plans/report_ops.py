@@ -404,12 +404,19 @@ def f6_datetime_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Python urllib.parse.quote('采购公告') — the ground-truth encoding the
+# reference produces (url_builder.py:27,29 quotes a Chinese keyword); the
+# oracle pins it as a known answer while Spark runs the real encoder.
+_CN_SUFFIX = "采购公告"
+_CN_SUFFIX_ENC = "%E9%87%87%E8%B4%AD%E5%85%AC%E5%91%8A"
+
+
 @register(
     "s2_url_construction",
-    """
+    f"""
     SELECT n_nationkey,
            'https://search.example.gov/portal?searchtype=1&page_index=1&kw='
-           || replace(lower(n_name), ' ', '%20')
+           || replace(lower(n_name), ' ', '%20') || '%20{_CN_SUFFIX_ENC}'
            || '&start_time=' || replace('2024-01-01', '-', ':')
            || '&zone=' || CAST(n_regionkey * 100 + n_nationkey AS VARCHAR)
            AS search_url
@@ -418,16 +425,71 @@ def f6_datetime_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s2_url_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 search-URL templating (url_builder.py:16-31): string formatting,
-    percent-encoding of the keyword, '-'→':' date rewrite, zone lookup."""
+    real percent-encoding of a non-ASCII keyword (F.url_encode — UTF-8
+    percent escapes, the ref's urllib.quote contract; form-style '+' for
+    space rewritten to quote-style '%20'), '-'→':' date rewrite, zone
+    lookup. The oracle pins the Chinese suffix's known-answer encoding
+    since DuckDB has no url_encode."""
     n = load_table(spark, sf_dir, "nation")
+    keyword = F.concat(F.lower("n_name"), F.lit(" " + _CN_SUFFIX))
+    encoded = F.replace(F.url_encode(keyword), F.lit("+"), F.lit("%20"))
     return n.select(
         "n_nationkey",
         F.concat(
             F.lit("https://search.example.gov/portal?searchtype=1&page_index=1&kw="),
-            F.replace(F.lower("n_name"), F.lit(" "), F.lit("%20")),
+            encoded,
             F.lit("&start_time="),
             F.regexp_replace(F.lit("2024-01-01"), "-", ":"),
             F.lit("&zone="),
             (F.col("n_regionkey") * 100 + F.col("n_nationkey")).cast("string"),
         ).alias("search_url"),
+    )
+
+
+@register(
+    "f4_regexp_findall",
+    r"""
+    SELECT p_partkey,
+           -- coalesce: DuckDB renders the zero-match join as NULL, Spark ''
+           coalesce(array_to_string(
+             regexp_extract_all(p_name, '(\w*o\w*)', 1), '|'), '') AS o_words,
+           len(regexp_extract_all(p_name, '(\w*o\w*)', 1)) AS n_matches
+    FROM part WHERE p_partkey % 20 = 0
+    """,
+)
+def f4_regexp_findall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 regex find-all (hunan.py:48-49 ``re.finditer`` → aligned lists):
+    regexp_extract_all returns every match as an array — joined for a
+    stable hash, plus the match count the reference zips against."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    matches = F.regexp_extract_all(F.col("p_name"), F.lit(r"(\w*o\w*)"), 1)
+    return p.select(
+        "p_partkey",
+        F.array_join(matches, "|").alias("o_words"),
+        F.size(matches).alias("n_matches"),
+    )
+
+
+@register(
+    "f15_filename_template",
+    """
+    SELECT n_nationkey,
+           replace(lower(n_name), ' ', '_') || '_'
+           || replace('2024-01-01', '-', '') || '.csv' AS filename
+    FROM nation
+    """,
+)
+def f15_filename_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15+F16 filename templating (main.py:35-36): keyword sanitized
+    space→underscore, date compacted, '.csv' suffix — the reference's
+    f-string output path built as a column expression."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.concat(
+            F.regexp_replace(F.lower("n_name"), " ", "_"),
+            F.lit("_"),
+            F.regexp_replace(F.lit("2024-01-01"), "-", ""),
+            F.lit(".csv"),
+        ).alias("filename"),
     )

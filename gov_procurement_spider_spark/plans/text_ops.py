@@ -212,31 +212,32 @@ def _shingles_spark(d: DataFrame) -> DataFrame:
     return d.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
-@register(
-    "dd2_ngram_jaccard",
-    f"""
-    WITH sh AS ({_SHINGLES_DUCK}),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.3
-    """,
-)
-def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: 3-gram shingle Jaccard ≥ 0.3. The pair space is
-    generated ONLY through the shared-shingle join (inverted index), never a
-    cross join — at 100 TB the shuffle is O(total shingles), and hot shingles
-    (boilerplate) would be capped by a df-frequency filter."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _shingles_spark(d)
+# hot-shingle cap: shingles shared by more than this many docs are
+# boilerplate (navigation chrome, legal footers) and are dropped from the
+# Jaccard universe BEFORE the inverted-index self-join — one shingle in 10^6
+# docs would otherwise emit ~10^12 pair rows inside a single join bucket.
+# df ≤ τ bounds per-shingle pair fan-out at τ·(τ-1)/2, so total pairs are
+# O(distinct shingles · τ²) — linear in corpus size for fixed τ.
+_DD2_MAX_DF = 50
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.3, max_df: int | None = _DD2_MAX_DF
+) -> DataFrame:
+    """Inverted-index near-dup pairs from a (doc_id, shingle) table: df-cap
+    hot shingles, self-join on shingle, score Jaccard over the capped
+    universe (sizes from the same capped set, so the metric stays a true
+    Jaccard of the restricted shingle sets)."""
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        # inner join on shingle — same shuffle key as the df agg and the
+        # pair join below, so the cap adds no new exchange at scale
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -256,9 +257,42 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(j >= 0.3)
+        .filter(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
     )
+
+
+@register(
+    "dd2_ngram_jaccard",
+    f"""
+    WITH sh0 AS ({_SHINGLES_DUCK}),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_DD2_MAX_DF}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.3
+    """,
+)
+def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-gram shingle Jaccard ≥ 0.3. The pair space is
+    generated ONLY through the shared-shingle join (inverted index), never a
+    cross join, and shingles with document frequency > {_DD2_MAX_DF} are
+    dropped first — so at 100 TB the shuffle is O(total shingles) and the
+    pair fan-out per shingle is bounded at τ(τ-1)/2 regardless of how common
+    a boilerplate phrase is."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(_shingles_spark(d))
 
 
 _N_MINHASH = 8

@@ -19,6 +19,8 @@ from gov_procurement_spider_spark.plans.crawl import run_crawl
 from gov_procurement_spider_spark.plans.records_pipeline import (
     RECORD_COLUMNS,
     REPORT_COLUMNS,
+    csv_compat_sink,
+    csv_compat_source,
     records_from_fetched,
     report_from_records,
 )
@@ -63,6 +65,35 @@ def test_report_single_plan(fetched):
     assert all("；" not in r["数量"] for r in rows)
     # spec/model separation happened
     assert any(r["型号"].startswith("KFR-") for r in rows)
+
+
+def test_csv_round_trip(spark, fetched):
+    """S5: the reference re-reads its own CSV between stages
+    (post_processor.py:29). Write the report via the compat sink, read it
+    back via the compat source — utf-8-sig BOM present, header not
+    BOM-polluted, 'N/A' sentinel a literal string, every cell identical."""
+    import os
+
+    rep = report_from_records(records_from_fetched(fetched))
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/report"
+    csv_compat_sink(rep, path)
+
+    parts = [n for n in os.listdir(path) if n.startswith("part-") and n.endswith(".csv")]
+    assert len(parts) == 1  # single-file contract (main.py:161)
+    raw = open(os.path.join(path, parts[0]), "rb").read()
+    assert raw.startswith(b"\xef\xbb\xbf")  # utf-8-sig survives
+
+    back = csv_compat_source(spark, path)
+    assert back.columns == REPORT_COLUMNS  # BOM didn't leak into the header
+    orig = sorted(tuple(r) for r in rep.na.fill("N/A").collect())
+    rt = sorted(tuple(r) for r in back.collect())
+    assert rt == orig
+
+    # sentinel contract: a null crosses the sink as the literal string 'N/A'
+    holed = spark.createDataFrame([("x", None)], "a string, b string")
+    hpath = tempfile.mkdtemp(prefix="csv_na_") + "/holed"
+    csv_compat_sink(holed, hpath)
+    assert csv_compat_source(spark, hpath).first()["b"] == "N/A"
 
 
 def test_image_features(fetched):
