@@ -7,9 +7,12 @@ itself: the hot side gets a salt column `hash(row) % k`, the small/dim side
 is replicated k× (one copy per salt), and the join key becomes
 (key, salt) — k-way parallelism for the hot key with identical results.
 
-Used by the crawler for the frontier↔politeness budget join when one host
-dominates (budget divided across salts), and exposed here as a general
-operator with an oracle proving salted == unsalted.
+Used by the crawler's constrained selection path (plans/crawl.py run_epoch):
+`with_salt` splits each host's pending set into sub-windows that are
+pre-truncated to budget rows before the exact per-host re-rank, so a
+dominant host sorts in k bounded tasks instead of one unbounded one. Also
+exposed as a general salted-join operator with an oracle proving
+salted == unsalted (j6_salted_skew_join).
 """
 
 from __future__ import annotations

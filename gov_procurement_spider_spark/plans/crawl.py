@@ -22,10 +22,11 @@ in-partition, written in-partition); only ~100-byte link rows shuffle for
 dedup; the seen anti-join is Bloom-prefiltered so definite-new URLs skip it;
 the frontier shuffles hash-partitioned by host (politeness is a per-host
 constraint, so host-partitioning also co-locates the budget join); skewed
-hosts can't exceed their politeness budget, which bounds per-host epoch work
-by construction — the salting knob exists for the *link-dedup* shuffle where
-hot URLs would concentrate (dedup partitions by full url, which is already
-uniform under hash).
+hosts can't exceed their politeness budget, which bounds per-host *fetch*
+work by construction, and the constrained selection window is salted
+(operators/skew.py) so a dominant host's pending set never sorts in a
+single task either — per-(host, salt) pre-truncation to budget rows, then
+an exact re-rank of the ≤ salts·budget survivors.
 """
 
 from __future__ import annotations
@@ -41,12 +42,17 @@ from pyspark.sql import functions as F
 from ..crawler.bloom import BloomFilter
 from ..crawler.fetcher import FETCH_OUT_SCHEMA, make_fetcher
 from ..functions.urls import url_hash64, url_path
+from ..operators.skew import with_salt
 from ..sources import site_model as sm
 from ..sources.site_model import SiteSpec
 from ..streaming import checkpoint as ck
 
 ORDER_KEY = ["priority", "disc_epoch", "seed_idx", "page_idx", "pos"]
 FRONTIER_COLS = ORDER_KEY + ["kind", "url", "host"]
+
+# sub-windows per host in the constrained selection path: a dominant host's
+# pending set sorts in N_SALT_PARTS parallel bounded tasks instead of one
+N_SALT_PARTS = 16
 
 
 @dataclass
@@ -245,9 +251,12 @@ def _advance_politeness(
     epoch (spec shared with refsim — idle hosts keep stale tokens). One left
     join tree (no inner/anti/union split) so the update is a single stage."""
     refill = float(spec.rate_per_sec * spec.epoch_seconds)
+    # FULL outer: an active host the table has never seen (first discovered
+    # this epoch) enters with a fresh burst-sized bucket instead of silently
+    # never existing — without this the politeness table could only shrink
     out = politeness.join(
-        active.withColumn("_active", F.lit(1)), "host", "left"
-    )
+        active.withColumn("_active", F.lit(1)), "host", "full"
+    ).withColumn("tokens", F.coalesce("tokens", F.lit(float(spec.burst))))
     if taken is not None:
         out = out.join(taken, "host", "left")
     else:
@@ -279,6 +288,12 @@ def run_epoch(
     politeness = ck.read_table(spark, ckpt, epoch, "politeness")
     robots = ck.read_table(spark, ckpt, 0, "robots")
     out_epoch = epoch + 1
+    # a frontier host missing from the politeness table (discovered this
+    # run) starts with a fresh bucket — floor(burst), exactly what
+    # init_state grants; without the coalesce a null budget made the
+    # constrained filters silently drop the host's rows and the fast path
+    # fetch with no cap at all
+    default_budget = int(spec.burst)
     budgets = politeness.withColumn("budget", F.floor("tokens").cast("int"))
 
     # one tiny agg decides everything the driver needs: total pending and
@@ -290,6 +305,7 @@ def run_epoch(
         frontier.groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_pending"))
         .join(F.broadcast(budgets), "host", "left")
+        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
         .agg(
             F.sum("n_pending").alias("n_frontier"),
             F.max(
@@ -304,20 +320,44 @@ def run_epoch(
         return 0, 0
     active = frontier.select("host").distinct()
 
-    ranked = None
+    epoch_cache = []
     if pending_stats["constrained"] == 0:
         selected = frontier.select(*FRONTIER_COLS)
         remaining = frontier.select(*FRONTIER_COLS).limit(0)
         n_selected = n_frontier
     else:
-        wsel = W.partitionBy("host").orderBy(*ORDER_KEY)
-        ranked = (
-            frontier.join(F.broadcast(budgets), "host", "left")
-            .withColumn("rn", F.row_number().over(wsel))
+        # Skew-safe per-host top-budget (Zipf host distributions are the
+        # norm — site_model.py:55): a plain PARTITION BY host window sorts
+        # one dominant host's ENTIRE pending set (10^9 rows at 10^10-URL
+        # scale) in a single task, because the budget bounds the window's
+        # output, not its input. Stage 1 salts each host's rows into
+        # N_SALT_PARTS sub-windows and keeps only the per-salt top-budget —
+        # sound because any row in the global top-budget has < budget rows
+        # ahead of it overall, hence < budget ahead within its own salt.
+        # Stage 2 ranks the ≤ salts·budget survivors exactly. Rows dropped
+        # in stage 1 are provably unselected and go straight to remaining,
+        # so the result set is bit-identical to the unsalted window
+        # (test_crawl_skew.py proves it against refsim under 90% skew).
+        wpre = W.partitionBy("host", "_salt").orderBy(*ORDER_KEY)
+        pre = (
+            with_salt(frontier, N_SALT_PARTS, "url")
+            .join(F.broadcast(budgets), "host", "left")
+            .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+            .withColumn("_prn", F.row_number().over(wpre))
             .persist()
         )
+        epoch_cache.append(pre)
+        survivors = pre.filter(F.col("_prn") <= F.col("budget")).drop(
+            "_salt", "_prn"
+        )
+        dropped = pre.filter(F.col("_prn") > F.col("budget")).select(*FRONTIER_COLS)
+        wsel = W.partitionBy("host").orderBy(*ORDER_KEY)
+        ranked = survivors.withColumn("rn", F.row_number().over(wsel)).persist()
+        epoch_cache.append(ranked)
         selected = ranked.filter(F.col("rn") <= F.col("budget")).select(*FRONTIER_COLS)
-        remaining = ranked.filter(F.col("rn") > F.col("budget")).select(*FRONTIER_COLS)
+        remaining = dropped.unionByName(
+            ranked.filter(F.col("rn") > F.col("budget")).select(*FRONTIER_COLS)
+        )
         n_selected = selected.count()
     if n_selected == 0:
         # virtual-time tick: refill buckets, carry frontier unchanged
@@ -337,8 +377,8 @@ def run_epoch(
             out_epoch,
             {"processed_epoch": epoch, "urls_fetched": 0, "urls_admitted": 0},
         )
-        if ranked is not None:
-            ranked.unpersist()
+        for df in epoch_cache:
+            df.unpersist()
         frontier.unpersist()
         return n_frontier, 0
 
@@ -406,8 +446,8 @@ def run_epoch(
                 "crawl_log_from_frontier": log_is_frontier,
             },
         )
-        if ranked is not None:
-            ranked.unpersist()
+        for df in epoch_cache:
+            df.unpersist()
         frontier.unpersist()
         return n_frontier, n_selected
 
@@ -500,8 +540,8 @@ def run_epoch(
             "crawl_log_from_frontier": log_is_frontier,
         },
     )
-    if ranked is not None:
-        ranked.unpersist()
+    for df in epoch_cache:
+        df.unpersist()
     frontier.unpersist()
     if use_bloom:
         cand.unpersist()
