@@ -33,7 +33,9 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run_once(cores: int, n_urls: int, n_hosts: int, max_dim: int) -> None:
+def run_once(
+    cores: int, n_urls: int, n_hosts: int, max_dim: int, min_wall: float = 100.0
+) -> None:
     from gov_procurement_spider_spark.plans.crawl import (
         init_steady_frontier,
         run_epoch,
@@ -65,25 +67,39 @@ def run_once(cores: int, n_urls: int, n_hosts: int, max_dim: int) -> None:
     finally:
         shutil.rmtree(warm, ignore_errors=True)
 
-    ckpt = tempfile.mkdtemp(prefix=f"steady_{cores}_", dir=tmp_root)
+    # equal wall-clock exposure: a 16-core epoch finishes in ~40 s while a
+    # 2-core one spans ~4 min, so a single high-core epoch can land entirely
+    # inside one of this VM's minute-scale co-tenancy throttle windows
+    # (scripts/hw_probe.py: identical work slows 1.0–1.83× by the minute).
+    # Repeating the SAME epoch on the SAME input until every config has
+    # ≥ min_wall measured seconds averages all configs over the same window
+    # mix — no sample selection, just equal exposure.
+    walls: list[float] = []
     try:
-        init_steady_frontier(spark, spec, ckpt, n_urls)
-        t0 = time.perf_counter()
-        n_frontier, n_sel = run_epoch(spark, spec, ckpt, 0)
-        wall = time.perf_counter() - t0
-        assert n_sel == n_urls, (n_sel, n_urls)
+        while sum(walls) < min_wall:
+            ckpt = tempfile.mkdtemp(prefix=f"steady_{cores}_", dir=tmp_root)
+            try:
+                init_steady_frontier(spark, spec, ckpt, n_urls)  # untimed setup
+                t0 = time.perf_counter()
+                n_frontier, n_sel = run_epoch(spark, spec, ckpt, 0)
+                walls.append(time.perf_counter() - t0)
+                assert n_sel == n_urls, (n_sel, n_urls)
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+        total = sum(walls)
         print(
             json.dumps(
                 {
                     "cores": cores,
                     "urls": n_urls,
-                    "wall_sec": round(wall, 3),
-                    "urls_per_sec": round(n_urls / wall, 2),
+                    "epochs": len(walls),
+                    "wall_sec": round(total, 3),
+                    "epoch_walls": [round(w, 2) for w in walls],
+                    "urls_per_sec": round(n_urls * len(walls) / total, 2),
                 }
             )
         )
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
         spark.stop()
 
 
@@ -97,6 +113,7 @@ def orchestrate(
     out_md: str,
     repeats: int = 2,
     grid: tuple[int, ...] = CORE_GRID,
+    min_wall: float = 100.0,
 ) -> None:
     """Interleave the core counts across repeats (2,4,…,32, 2,4,…) so slow
     system drift (thermal, page cache) hits every config equally, and take
@@ -116,6 +133,7 @@ def orchestrate(
                 "--urls", str(n_urls),
                 "--hosts", str(n_hosts),
                 "--max-dim", str(max_dim),
+                "--min-wall", str(min_wall),
             ]
             # confine each run to `cores` physical CPUs: an unconfined
             # local[8] on a 32-core box would borrow idle cores for its
@@ -165,6 +183,10 @@ grid. Per BASELINE.json north_rule this sandbox stands in for N vs 4N
 subprocess each, {repeats} interleaved repeats per config, median reported,
 all samples shown; checkpoints on tmpfs since a single local disk's page
 cache does not model object storage whose bandwidth scales with executors).
+Every sample spans ≥{min_wall:.0f} s of measured wall by repeating the same
+epoch on the same input (setup untimed), so fast high-core configs get the
+same exposure to this VM's minute-scale co-tenancy throttle windows as slow
+low-core ones — equal exposure, no window selection.
 
 | config | median URLs/sec | all samples |
 |---|---|---|
@@ -203,15 +225,17 @@ if __name__ == "__main__":
     ap.add_argument("--max-dim", type=int, default=192)
     ap.add_argument("--out", default=str(REPO / "BENCH" / "BASELINE.md"))
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--min-wall", type=float, default=100.0)
     ap.add_argument(
         "--grid", default=",".join(map(str, CORE_GRID)),
         help="comma-separated core counts",
     )
     a = ap.parse_args()
     if a.once:
-        run_once(a.cores, a.urls, a.hosts, a.max_dim)
+        run_once(a.cores, a.urls, a.hosts, a.max_dim, min_wall=a.min_wall)
     else:
         orchestrate(
             a.urls, a.hosts, a.max_dim, a.out, repeats=a.repeats,
             grid=tuple(int(x) for x in a.grid.split(",")),
+            min_wall=a.min_wall,
         )
