@@ -54,6 +54,8 @@ HEADLINE = [
     "dd2_ngram_jaccard",
     "dd4_minhash_lsh_pairs",
     "ml1_cosine_topk",
+    "ml3_ann_topk",
+    "dd6_embedding_near_dup",
 ]
 
 # throughput-mode site: politeness effectively unconstrained so the scheduler,

@@ -191,6 +191,70 @@ def ml3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(spark, sf_dir)
 
 
+# calibrated to the synthetic corpus: its embeddings are random (max pairwise
+# cosine ≈ 0.51 corpus-wide, ≈ 0.40 within LSH buckets), so a production-style
+# 0.9 threshold would make the query vacuously empty; 0.3 yields a small
+# non-trivial pair set. The threshold is data, not structure — at 100 TB you
+# raise it, the plan is unchanged.
+_NEAR_DUP_SIM = 0.3
+
+
+@register(
+    "dd6_embedding_near_dup",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, p.plane, d.dim,
+             embedding[d.dim + 1]::DOUBLE * ({_SIGN_DUCK}) AS contrib
+      FROM embeddings,
+           unnest(generate_series(0, {_N_PLANES - 1})) AS p(plane),
+           unnest(generate_series(0, 63)) AS d(dim)
+    ),
+    sig AS (
+      SELECT vec_id, plane, CASE WHEN sum(contrib) > 0 THEN 1 ELSE 0 END AS bit
+      FROM comp GROUP BY vec_id, plane
+    ),
+    buckets AS (
+      SELECT vec_id, sum(bit * power(2, plane)::BIGINT)::BIGINT AS bucket
+      FROM sig GROUP BY vec_id
+    ),
+    v AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id)
+    )
+    SELECT a.vec_id AS dup_a, b.vec_id AS dup_b,
+           round(list_cosine_similarity(
+             a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+            a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {_NEAR_DUP_SIM}
+    """,
+)
+def dd6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the semantic member of the
+    dedup family): LSH-bucket every vector, emit pairs with cosine above the
+    (corpus-calibrated) threshold *within* buckets only. Same linear topology as ml3 —
+    candidate pairs are Σ_buckets n_b², never n²; recall is tunable by
+    band count exactly like MinHash-LSH banding (dd4)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = ml2_ann_lsh_buckets(spark, sf_dir)
+    v = e.join(buckets, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("dup_a"),
+            F.col("b.vec_id").alias("dup_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= _NEAR_DUP_SIM)
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = _TOP_K) -> DataFrame:
     """Composed ANN scale path: bucket vectors (ml2's signature), then
     brute-force cosine *within* buckets only."""
