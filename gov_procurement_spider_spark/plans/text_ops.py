@@ -65,6 +65,30 @@ def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx5_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))
+             AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def tx5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (the GPT-2 pretokenizer shape: letter
+    runs | digit runs | punctuation runs), alongside the whitespace count —
+    both pure column expressions; the regex runs in the JVM, not Python."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]+"), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(_TOKENS_SPARK(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
+@register(
     "tx2_quality_score",
     """
     SELECT doc_id,
