@@ -221,6 +221,10 @@ _SHINGLES_DUCK = """
 
 
 def _shingles_spark(d: DataFrame) -> DataFrame:
+    # documents are tiny rows → a small parquet arrives as 1-2 scan
+    # partitions, which would run the ~100× shingle explode single-task;
+    # spread docs across the executor slots first (cheap: pre-explosion)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     toks = _TOKENS_SPARK(F.col("text"))
     shingles = F.array_distinct(
         F.transform(
@@ -248,32 +252,42 @@ _DD2_MAX_DF = 50
 def ngram_jaccard_pairs(
     sh: DataFrame, threshold: float = 0.3, max_df: int | None = _DD2_MAX_DF
 ) -> DataFrame:
-    """Inverted-index near-dup pairs from a (doc_id, shingle) table: df-cap
-    hot shingles, self-join on shingle, score Jaccard over the capped
-    universe (sizes from the same capped set, so the metric stays a true
-    Jaccard of the restricted shingle sets)."""
+    """Inverted-index near-dup pairs from a (doc_id, shingle) table, the
+    canonical one-pass posting-list formulation: ONE shuffle groups each
+    shingle's (sorted) doc list, the df-cap is a free filter on list size,
+    and candidate pairs come from in-memory array combinations of each
+    ≤τ-element posting list — no self-join, no second pass over the shingle
+    table. Sizes come from the capped lists too, so the metric stays a true
+    Jaccard of the restricted shingle sets."""
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
     if max_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        # inner join on shingle — same shuffle key as the df agg and the
-        # pair join below, so the cap adds no new exchange at scale
-        sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        grouped = grouped.filter(F.size("docs") <= max_df)
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    # all ordered pairs (docs[i], docs[j]) with i < j from each posting list:
+    # ≤ τ(τ-1)/2 structs per shingle, generated inside the row
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("docs"), i + 2, F.size("docs")),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
