@@ -22,6 +22,14 @@ from .registry import register
 _TOP_K = 5
 
 
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tiny-row single-file table → 1 scan partition; spread before the
+    # per-row O(d) cosine lambdas / O(d·planes) signature explode
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _cosine(a, b):
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -58,7 +66,7 @@ def ml1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-{_TOP_K} for the first 50 query vectors:
     zip_with dot product + aggregate norms (JVM-side, no UDF), ranked with a
     rounded similarity so cross-engine float ties break identically."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
     sim = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
@@ -123,7 +131,7 @@ def ml2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-sign LSH signature ({_N_PLANES} planes → bucket id):
     linear in vectors; neighbor candidates come from an equi-join on bucket,
     never a cross join."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     comp = e.select(
         "vec_id",
         F.posexplode("embedding").alias("dim", "x"),
@@ -235,7 +243,7 @@ def dd6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus-calibrated) threshold *within* buckets only. Same linear topology as ml3 —
     candidate pairs are Σ_buckets n_b², never n²; recall is tunable by
     band count exactly like MinHash-LSH banding (dd4)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     buckets = ml2_ann_lsh_buckets(spark, sf_dir)
     v = e.join(buckets, "vec_id")
     a, b = v.alias("a"), v.alias("b")
@@ -258,7 +266,7 @@ def dd6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = _TOP_K) -> DataFrame:
     """Composed ANN scale path: bucket vectors (ml2's signature), then
     brute-force cosine *within* buckets only."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     buckets = ml2_ann_lsh_buckets(spark, sf_dir)
     v = e.join(buckets, "vec_id")
     a, b = v.alias("a"), v.alias("b")

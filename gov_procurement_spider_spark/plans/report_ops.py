@@ -50,7 +50,11 @@ _E2_INPUT_DUCK = """
 
 
 def _e2_input_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
+    # tiny-row table → 1 scan partition; spread before the splitter's
+    # when-cascade + arrays_zip explode (CLAUDE.md mapInPandas/explode rule)
+    p = load_table(spark, sf_dir, "part").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     m = F.col("p_partkey") % 6
     return p.select(
         "p_partkey",
