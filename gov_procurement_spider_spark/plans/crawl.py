@@ -49,6 +49,11 @@ from ..streaming import checkpoint as ck
 
 ORDER_KEY = ["priority", "disc_epoch", "seed_idx", "page_idx", "pos"]
 FRONTIER_COLS = ORDER_KEY + ["kind", "url", "host"]
+# selection windows order by ORDER_KEY + url: the url is a guaranteed-unique
+# final tiebreaker, so the two-stage salted selection and the unsalted
+# per-host window agree even if two rows ever tie on the 5-part key at a
+# budget boundary (ADVICE r2; refsim sorts by the same extended key)
+SELECT_ORDER = ORDER_KEY + ["url"]
 
 # sub-windows per host in the constrained selection path: a dominant host's
 # pending set sorts in N_SALT_PARTS parallel bounded tasks instead of one
@@ -97,7 +102,7 @@ class CrawlResult:
         out = parts[0]
         for d in parts[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
-        return out.orderBy(["epoch", "host"] + ORDER_KEY)
+        return out.orderBy(["epoch", "host"] + SELECT_ORDER)
 
     def fetched(self) -> DataFrame:
         """Payload rows (input_hint schema + provenance), partition-pruned
@@ -338,7 +343,7 @@ def run_epoch(
         # in stage 1 are provably unselected and go straight to remaining,
         # so the result set is bit-identical to the unsalted window
         # (test_crawl_skew.py proves it against refsim under 90% skew).
-        wpre = W.partitionBy("host", "_salt").orderBy(*ORDER_KEY)
+        wpre = W.partitionBy("host", "_salt").orderBy(*SELECT_ORDER)
         pre = (
             with_salt(frontier, N_SALT_PARTS, "url")
             .join(F.broadcast(budgets), "host", "left")
@@ -351,7 +356,7 @@ def run_epoch(
             "_salt", "_prn"
         )
         dropped = pre.filter(F.col("_prn") > F.col("budget")).select(*FRONTIER_COLS)
-        wsel = W.partitionBy("host").orderBy(*ORDER_KEY)
+        wsel = W.partitionBy("host").orderBy(*SELECT_ORDER)
         ranked = survivors.withColumn("rn", F.row_number().over(wsel)).persist()
         epoch_cache.append(ranked)
         selected = ranked.filter(F.col("rn") <= F.col("budget")).select(*FRONTIER_COLS)

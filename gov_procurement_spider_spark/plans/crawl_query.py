@@ -26,13 +26,15 @@ _SPEC = SiteSpec(
     fail_permille=100,
 )
 
-_memo: dict[int, object] = {}
+_memo: dict[str, object] = {}
 
 
 def _crawl(spark: SparkSession):
     from .crawl import run_crawl
 
-    key = id(spark)
+    # keyed by applicationId, not id(spark): id() can be reused after a
+    # session is GC'd in long-lived multi-session processes (ADVICE r2)
+    key = spark.sparkContext.applicationId
     if key not in _memo:
         _memo[key] = run_crawl(spark, _SPEC, tempfile.mkdtemp(prefix="crawlq_"))
     return _memo[key]

@@ -44,47 +44,31 @@ _TOKENS_SPARK = lambda c: F.split(c, " ")  # noqa: E731 - docs are single-space 
 
 @register(
     "tx1_token_count",
-    """
+    r"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            length(text) AS n_chars_measured,
-           n_chars
+           n_chars,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))
+             AS n_bpe_tokens
     FROM documents
     """,
 )
 def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting — the unit of truth for training-data
-    budgeting. Pure split+size, codegen'd."""
+    """Token counting — the unit of truth for training-data budgeting:
+    whitespace split+size, plus a BPE-ish regex count (the GPT-2
+    pretokenizer shape: letter runs | digit runs | punctuation runs). Both
+    pure column expressions; the regex runs in the JVM, not Python. (Was two
+    driver rows tx1/tx5 — merged to fit the driver's 50-query cap.)"""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(_TOKENS_SPARK(F.col("text"))).alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
         "n_chars",
-    )
-
-
-@register(
-    "tx5_bpe_token_count",
-    r"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))
-             AS n_bpe_tokens,
-           len(string_split(text, ' ')) AS n_ws_tokens
-    FROM documents WHERE doc_id % 5 = 0
-    """,
-)
-def tx5_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex token counting (the GPT-2 pretokenizer shape: letter
-    runs | digit runs | punctuation runs), alongside the whitespace count —
-    both pure column expressions; the regex runs in the JVM, not Python."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return d.select(
-        "doc_id",
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]+"), 0)
         ).alias("n_bpe_tokens"),
-        F.size(_TOKENS_SPARK(F.col("text"))).alias("n_ws_tokens"),
     )
 
 
@@ -436,31 +420,27 @@ def _h48(col):
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
-@register(
-    "dd5_simhash",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, token, count(*) AS tf FROM (
-        SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents
-      ) GROUP BY doc_id, token
-    ),
-    bits AS (
-      SELECT doc_id, b.bit,
-             sum(CASE WHEN ({_H48_DUCK.format("token")} // power(2, b.bit)::BIGINT) % 2 = 1
-                      THEN tf ELSE -tf END) AS s
-      FROM tok, unnest(generate_series(0, {_N_SIMHASH_BITS - 1})) AS b(bit)
-      GROUP BY doc_id, b.bit
-    )
-    SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN power(2, bit)::BIGINT ELSE 0 END)::BIGINT AS simhash
-    FROM bits GROUP BY doc_id
-    """,
-)
-def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (32-bit, tf-weighted): per (doc, bit) signed sums → sign bits
-    assembled into one long. Explode factor is 32× tokens — linear, map-side
-    combinable, no pairwise work until hamming bucketing."""
-    d = load_table(spark, sf_dir, "documents")
+_SIMHASH_DUCK = f"""
+      WITH tok AS (
+        SELECT doc_id, token, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents
+        ) GROUP BY doc_id, token
+      ),
+      bits AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN ({_H48_DUCK.format("token")} // power(2, b.bit)::BIGINT) % 2 = 1
+                        THEN tf ELSE -tf END) AS s
+        FROM tok, unnest(generate_series(0, {_N_SIMHASH_BITS - 1})) AS b(bit)
+        GROUP BY doc_id, b.bit
+      )
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN power(2, bit)::BIGINT ELSE 0 END)::BIGINT AS simhash
+      FROM bits GROUP BY doc_id
+"""
+
+
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash): tf-weighted 32-bit SimHash."""
     tok = (
         d.select("doc_id", F.explode(_TOKENS_SPARK(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
@@ -492,4 +472,116 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("simhash")
+    )
+
+
+@register("dd5_simhash", f"SELECT doc_id, simhash FROM ({_SIMHASH_DUCK})")
+def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, tf-weighted): per (doc, bit) signed sums → sign bits
+    assembled into one long. Explode factor is 32× tokens — linear, map-side
+    combinable, no pairwise work until hamming bucketing (dd7)."""
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+# bit-block LSH over the 32-bit signature: split into r+1 = 4 blocks of
+# 8 bits; by pigeonhole any pair at hamming ≤ r = 3 matches exactly on at
+# least one block, so the block-bucket join has PERFECT recall for the
+# threshold — same bucketed topology as dd4's MinHash banding. The bucket
+# cap bounds a hot block value's pair fan-out at τ(τ-1)/2, exactly like
+# dd2's posting-list df-cap (a capped bucket means >τ docs share 8 identical
+# signature bits — boilerplate-dominated corpora hit this, and the cap trades
+# those pairs away with a log line rather than a quadratic join bucket).
+_DD7_BLOCKS = 4
+_DD7_MAX_HAMMING = _DD7_BLOCKS - 1
+_DD7_MAX_BUCKET = 200
+
+
+def simhash_pairs(
+    sig: DataFrame,
+    max_hamming: int = _DD7_MAX_HAMMING,
+    max_bucket: int | None = _DD7_MAX_BUCKET,
+) -> DataFrame:
+    """(doc_id, simhash) → near-dup pairs at hamming ≤ max_hamming, via
+    bit-block posting lists: ONE shuffle groups each (block, value) bucket's
+    sorted doc list, candidate pairs are in-row array combinations of each
+    ≤τ-element list (no self-join), then an exact bit_count(xor) filter."""
+    stack_args = ", ".join(
+        f"{b}, shiftright(simhash, {8 * b}) & 255" for b in range(_DD7_BLOCKS)
+    )
+    blocks = sig.select(
+        "doc_id",
+        F.expr(f"stack({_DD7_BLOCKS}, {stack_args}) as (block, block_val)"),
+    )
+    grouped = blocks.groupBy("block", "block_val").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("docs") <= max_bucket)
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("docs"), i + 2, F.size("docs")),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@register(
+    "dd7_simhash_pairs",
+    f"""
+    WITH sig AS ({_SIMHASH_DUCK}),
+    blocks AS (
+      SELECT doc_id, b.b AS block,
+             (simhash // CAST(power(2, 8 * b.b) AS BIGINT)) % 256 AS block_val
+      FROM sig, unnest(generate_series(0, {_DD7_BLOCKS - 1})) AS b(b)
+    ),
+    keep AS (
+      SELECT block, block_val FROM blocks
+      GROUP BY block, block_val HAVING count(*) <= {_DD7_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a
+      JOIN keep USING (block, block_val)
+      JOIN blocks b ON a.block = b.block AND a.block_val = b.block_val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_DD7_MAX_HAMMING}
+    """,
+)
+def dd7_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair generation (completes the family the way dd4
+    completes MinHash — VERDICT r2 item 3): bit-block LSH buckets, in-row
+    posting-list pair combinations, exact hamming verification. Candidate
+    generation is linear in docs; pair fan-out per bucket is bounded."""
+    return simhash_pairs(
+        simhash_signatures(load_table(spark, sf_dir, "documents"))
     )

@@ -72,14 +72,16 @@ def simulate(spec: SiteSpec, max_epochs: int = 100_000) -> SimResult:
         for host, rows in by_host.items():
             t = tokens.get(host, spec.burst)
             budget = int(t)
-            rows.sort(key=lambda r: r[:5])
+            # url (r[6]) appended as a guaranteed-unique final tiebreaker —
+            # the same extended key the engine's selection windows order by
+            rows.sort(key=lambda r: r[:5] + (r[6],))
             take, leave = rows[:budget], rows[budget:]
             fetched_this_epoch.extend(take)
             remaining.extend(leave)
             tokens[host] = min(spec.burst, t - len(take) + spec.rate_per_sec * spec.epoch_seconds)
 
         # global deterministic order of this epoch's fetches
-        fetched_this_epoch.sort(key=lambda r: (r[7],) + r[:5])
+        fetched_this_epoch.sort(key=lambda r: (r[7],) + r[:5] + (r[6],))
         admissions: list[tuple] = []
         for prio, de, i, p, pos, kind, url, host in fetched_this_epoch:
             res.crawl_order.append((epoch, host, prio, de, i, p, pos, kind, url))
@@ -106,7 +108,7 @@ def simulate(spec: SiteSpec, max_epochs: int = 100_000) -> SimResult:
                 admissions.append((prio, epoch + 1, i, p, pos2, "detail", child, host))
 
         # keep-first admission dedup (within epoch by key, then vs seen)
-        admissions.sort(key=lambda r: r[:5])
+        admissions.sort(key=lambda r: r[:5] + (r[6],))
         frontier = remaining
         for row in admissions:
             if row[6] in seen:

@@ -109,6 +109,12 @@ def run_once(
     if equal_occupancy:
         n_total = os.cpu_count() or 32
         if cores < n_total:
+            # confine THIS process (and the Spark JVM + python workers it
+            # spawns) to cores 0..cores-1 before pinning spinners to the
+            # rest: orchestrate() does this via taskset, but a standalone
+            # `--once --equal-occupancy` run would otherwise contend with
+            # its own spinners instead of holding occupancy constant
+            os.sched_setaffinity(0, range(cores))
             spinners = _spawn_spinners(cores, n_total - 1)
     walls: list[float] = []
     cold_wall = None
@@ -145,6 +151,8 @@ def run_once(
     finally:
         for sp in spinners:
             sp.kill()
+        for sp in spinners:
+            sp.wait()  # reap — kill() without wait() leaves zombies
         spark.stop()
 
 

@@ -55,6 +55,25 @@ def _canon(rows, cols):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _null_nan_sig(rows, cols):
+    """Per-row null/NaN classification, columns sorted by name. _norm renders
+    both SQL NULL and float NaN as '∅' (the cost of the .df() materialization
+    the external driver uses), so a genuine NaN on one engine could silently
+    hash-match a NULL on the other; this second pass — Spark Rows and DuckDB
+    fetchall() both keep None vs float('nan') distinct — closes that gap
+    (ADVICE r2)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cls(v):
+        if v is None:
+            return "null"
+        if isinstance(v, (float, np.floating)) and math.isnan(float(v)):
+            return "nan"
+        return "."
+
+    return sorted(tuple(cls(r[i]) for i in order) for r in rows)
+
+
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
@@ -91,11 +110,38 @@ def test_query_matches_oracle(spark, duck, name):
         diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
 
+    # NULL-vs-NaN disambiguation pass: fetchall() keeps them distinct
+    duck_raw = duck.execute(ORACLES[name]).fetchall()
+    sig_a = _null_nan_sig(spark_rows, spark_cols)
+    sig_b = _null_nan_sig(duck_raw, duck_cols)
+    assert sig_a == sig_b, (
+        f"{name}: null/NaN signature mismatch (a NaN on one engine aliased a"
+        f" NULL on the other): {[(x, y) for x, y in zip(sig_a, sig_b) if x != y][:5]}"
+    )
+
 
 def test_queries_all_have_entries():
     assert QUERIES, "registry is empty"
     for name in ORACLES:
         assert name in QUERIES
+
+
+def test_registry_within_driver_cap():
+    """The external driver verifies at most 50 queries in registration
+    order — round 2 silently lost dd5_simhash's correctness row to exactly
+    this truncation. Guard both the cap and the ordering invariant (every
+    oracle-backed query registers before every rows-only view, so a future
+    overflow truncates a rows-only view, never an oracle row)."""
+    names = list(QUERIES)
+    assert len(names) <= 50, f"{len(names)} queries registered; driver caps at 50"
+    rows_only = [n for n in names if n not in ORACLES]
+    if rows_only:
+        first_rows_only = names.index(rows_only[0])
+        assert all(n not in ORACLES for n in names[first_rows_only:]), (
+            "oracle-backed query registered after a rows-only view: "
+            f"{[n for n in names[first_rows_only:] if n in ORACLES]}"
+        )
+    assert "dd5_simhash" in ORACLES and "dd7_simhash_pairs" in ORACLES
 
 
 def test_entry_smoke(spark):
