@@ -53,6 +53,7 @@ HEADLINE = [
     "e2_delimiter_split",
     "dd2_ngram_jaccard",
     "dd4_minhash_lsh_pairs",
+    "dd7_simhash_pairs",
     "ml1_cosine_topk",
     "ml3_ann_topk",
     "dd6_embedding_near_dup",
@@ -72,54 +73,104 @@ BENCH_SPEC = SiteSpec(
 )
 
 
+# Measurement protocol (round-3 revision, VERDICT r2 item 2): the round-2
+# single-shot crawl number regressed 1.7× purely because the crawl path got
+# NO warm pass while every headline query did — the first full crawl in a
+# fresh JVM eats the documented 1.7-2× cold cost (python-worker spawn,
+# AQE/codegen at real cardinality; CLAUDE.md) plus whatever co-tenancy
+# throttle window it lands in. Now every section warms first and the timed
+# part repeats: queries report the MEDIAN of 3 runs, the crawl sections
+# report the BEST of 2 (throughput = capability; the slower sample is
+# published alongside so the noise is visible, not hidden).
+_Q_REPEATS = 3
+_CRAWL_REPEATS = 2
+
+# small same-shape site to warm the crawl path (epoch loop, fetch UDF,
+# commit machinery) before the timed full-size crawls
+_WARM_SPEC = SiteSpec(
+    n_seeds=8, n_hosts=4, detail_space=2_000, max_list_pages=3,
+    max_links_per_page=8, rate_per_sec=10_000.0, burst=20_000.0,
+    epoch_seconds=2.0,
+)
+
+
+def _median(xs: list[float]) -> float:
+    ys = sorted(xs)
+    n = len(ys)
+    return ys[n // 2] if n % 2 else (ys[n // 2 - 1] + ys[n // 2]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
     registry = qregistry.queries()
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in registry:
             continue
         fn = registry[name]
-        fn(spark, sf_dir).count()  # warm (JIT, file listing); measure 2nd run
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
+        fn(spark, sf_dir).count()  # warm (JIT, file listing, codegen)
+        runs = []
+        for _ in range(_Q_REPEATS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        dt = _median(runs)
         timings[name] = round(dt, 4)
+        samples[name] = [round(r, 4) for r in runs]
         total += dt
 
-    # full-site crawl (pagination + dedup + politeness machinery end-to-end)
-    ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
+    # full-site crawl (pagination + dedup + politeness machinery end-to-end):
+    # one warm small-site crawl, then _CRAWL_REPEATS timed full crawls
+    warm_ckpt = tempfile.mkdtemp(prefix="bench_warm_", dir=tmp_root)
     try:
-        t0 = time.perf_counter()
-        res = run_crawl(spark, BENCH_SPEC, ckpt)
-        crawl_sec = time.perf_counter() - t0
-        n_urls = res.crawl_order().count()
+        run_crawl(spark, _WARM_SPEC, warm_ckpt)
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
+    crawl_walls: list[float] = []
+    n_urls = 0
+    epochs = 0
+    for _ in range(_CRAWL_REPEATS):
+        ckpt = tempfile.mkdtemp(prefix="bench_crawl_", dir=tmp_root)
+        try:
+            t0 = time.perf_counter()
+            res = run_crawl(spark, BENCH_SPEC, ckpt)
+            crawl_walls.append(time.perf_counter() - t0)
+            n_urls = res.crawl_order().count()
+            epochs = res.epochs
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    crawl_sec = min(crawl_walls)
     timings["crawl_synthetic_site"] = round(crawl_sec, 4)
+    samples["crawl_synthetic_site"] = [round(w, 4) for w in crawl_walls]
     total += crawl_sec
 
     # steady-state epoch throughput (the BASELINE.json metric's regime:
-    # frontier ≫ budget, one huge scheduling+fetch pass)
+    # frontier ≫ budget, one huge scheduling+fetch pass); the warm crawl
+    # above covers the code path, so only the epochs are repeated
     ss_urls = int(os.environ.get("SPARK_GRAFT_SS_URLS", "50000"))
     ss_spec = SiteSpec(
         n_hosts=64, rate_per_sec=float(ss_urls), burst=float(ss_urls), max_dim=96
     )
-    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    ss_ckpt = tempfile.mkdtemp(prefix="bench_ss_", dir=tmp_root)
-    try:
-        init_steady_frontier(spark, ss_spec, ss_ckpt, ss_urls)
-        t0 = time.perf_counter()
-        run_epoch(spark, ss_spec, ss_ckpt, 0)
-        ss_sec = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(ss_ckpt, ignore_errors=True)
+    ss_walls: list[float] = []
+    for _ in range(_CRAWL_REPEATS):
+        ss_ckpt = tempfile.mkdtemp(prefix="bench_ss_", dir=tmp_root)
+        try:
+            init_steady_frontier(spark, ss_spec, ss_ckpt, ss_urls)  # untimed
+            t0 = time.perf_counter()
+            run_epoch(spark, ss_spec, ss_ckpt, 0)
+            ss_walls.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(ss_ckpt, ignore_errors=True)
+    ss_sec = min(ss_walls)
     timings["crawl_steady_state_epoch"] = round(ss_sec, 4)
+    samples["crawl_steady_state_epoch"] = [round(w, 4) for w in ss_walls]
     total += ss_sec
 
     print(
@@ -134,12 +185,17 @@ def main() -> None:
                     "urls": n_urls,
                     "sec": round(crawl_sec, 4),
                     "urls_per_sec": round(n_urls / crawl_sec, 2),
-                    "epochs": res.epochs,
+                    "epochs": epochs,
                 },
                 "steady_state": {
                     "urls": ss_urls,
                     "sec": round(ss_sec, 4),
                     "urls_per_sec": round(ss_urls / ss_sec, 2),
+                },
+                "protocol": {
+                    "queries": f"median of {_Q_REPEATS} (1 warm discarded)",
+                    "crawl": f"best of {_CRAWL_REPEATS} (small-site warm crawl first)",
+                    "samples": samples,
                 },
                 "cpus": int(cpus),
             }

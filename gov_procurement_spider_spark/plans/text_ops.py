@@ -440,39 +440,35 @@ _SIMHASH_DUCK = f"""
 
 
 def simhash_signatures(d: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, simhash): tf-weighted 32-bit SimHash."""
+    """(doc_id, text) → (doc_id, simhash): tf-weighted 32-bit SimHash.
+
+    All 32 signed bit-sums come out of ONE wide aggregation over the
+    (doc, token, tf) table — no ×32 bit explode, one shuffle fewer than the
+    round-2 formulation (which spent 4.5-5 s at sf0.1 on 16M pre-agg rows;
+    this runs the same 0.5M token rows once). Integer math throughout, so
+    the unordered sums are exact and the DuckDB oracle (which still uses the
+    readable explode form) matches bit-for-bit."""
     tok = (
         d.select("doc_id", F.explode(_TOKENS_SPARK(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", _h48(F.col("token")))
     )
-    bits = (
-        tok.select(
-            "doc_id",
-            "tf",
-            _h48(F.col("token")).alias("th"),
-            F.explode(F.sequence(F.lit(0), F.lit(_N_SIMHASH_BITS - 1))).alias("bit"),
-        )
-        .withColumn(
-            "contrib",
-            F.when(
-                F.floor(F.col("th") / F.pow(F.lit(2), F.col("bit"))).cast("long") % 2
-                == 1,
-                F.col("tf"),
-            ).otherwise(-F.col("tf")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
+    wide = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")
+                ).otherwise(-F.col("tf"))
+            ).alias(f"_s{b}")
+            for b in range(_N_SIMHASH_BITS)
+        ]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    simhash = None
+    for b in range(_N_SIMHASH_BITS):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return wide.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 @register("dd5_simhash", f"SELECT doc_id, simhash FROM ({_SIMHASH_DUCK})")
@@ -503,21 +499,30 @@ def simhash_pairs(
 ) -> DataFrame:
     """(doc_id, simhash) → near-dup pairs at hamming ≤ max_hamming, via
     bit-block posting lists: ONE shuffle groups each (block, value) bucket's
-    sorted doc list, candidate pairs are in-row array combinations of each
-    ≤τ-element list (no self-join), then an exact bit_count(xor) filter."""
+    members — the signature rides along in the struct, so the exact
+    bit_count(xor) hamming is computed IN-ROW on each candidate pair (no
+    join back to the signature table, which would recompute the whole
+    tokenize+aggregate pipeline per join side); a final groupBy dedups pairs
+    found by several blocks. Two shuffles total."""
     stack_args = ", ".join(
         f"{b}, shiftright(simhash, {8 * b}) & 255" for b in range(_DD7_BLOCKS)
     )
     blocks = sig.select(
         "doc_id",
+        "simhash",
         F.expr(f"stack({_DD7_BLOCKS}, {stack_args}) as (block, block_val)"),
     )
     grouped = blocks.groupBy("block", "block_val").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
+        F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("docs")
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("docs") <= max_bucket)
-    pairs = (
+    pair = lambda x, y: F.struct(  # noqa: E731
+        x["doc_id"].alias("doc_a"),
+        y["doc_id"].alias("doc_b"),
+        F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+    )
+    return (
         grouped.select(
             F.explode(
                 F.flatten(
@@ -525,27 +530,16 @@ def simhash_pairs(
                         "docs",
                         lambda x, i: F.transform(
                             F.slice(F.col("docs"), i + 2, F.size("docs")),
-                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                            lambda y: pair(x, y),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(
-                F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
-            ).alias("hamming"),
-        )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
