@@ -54,6 +54,7 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
 # its round-2 correctness row to exactly this truncation).
 from gov_procurement_spider_spark.plans import (  # noqa: E402,F401
     audio_plan,
+    image_plan,
     ml_ops,
     olap_extra,
     registry,

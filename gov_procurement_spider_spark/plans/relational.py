@@ -454,25 +454,11 @@ def p4_invalid_record_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_valid"))
 
 
-@register(
-    "f13_numeric_clean",
-    """
-    SELECT p_partkey,
-           round(CAST(regexp_replace(concat(CAST(round(p_retailprice, 2) AS VARCHAR), '元'),
-                            '[^0-9.]', '', 'g') AS DOUBLE), 2) AS amount
-    FROM part
-    """,
-)
-def f13_numeric_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13 numeric clean + cast (ref report_generator.py:48-57
-    ``clean_numeric_value``: strip non-[0-9.], cast): pure column expressions,
-    stays inside whole-stage codegen."""
-    p = load_table(spark, sf_dir, "part")
-    raw = F.concat(F.round(F.col("p_retailprice"), 2).cast("string"), F.lit("元"))
-    return p.select(
-        "p_partkey",
-        F.round(F.regexp_replace(raw, "[^0-9.]", "").cast("double"), 2).alias("amount"),
-    )
+# (f13_numeric_clean was retired as a standalone driver row: F13's numeric
+# clean + cast is the `amount` column of f14_spec_model — same table, same
+# expression (operators/report.py::clean_numeric_display), every part row —
+# so the f14 oracle already value-checks it. The slot went to
+# im1_image_features, the image family's first oracle row.)
 
 
 @register(
