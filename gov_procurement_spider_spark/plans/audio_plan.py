@@ -153,7 +153,9 @@ def au1_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 50 == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # 2× slots (CLAUDE.md rule): tiny-row scans arrive as 1-2 partitions,
+        # and a second wave backfills any straggler ahead of the UDF chain
+        .repartition(2 * spark.sparkContext.defaultParallelism)
     )
     agg = exact_audio_aggregates(synth_audio_table(docs))
     return agg.select(

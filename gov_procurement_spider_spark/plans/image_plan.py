@@ -190,7 +190,9 @@ def im1_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 50 == 0)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # 2× slots (CLAUDE.md rule): tiny-row scans arrive as 1-2 partitions,
+        # and a second wave backfills any straggler ahead of the UDF chain
+        .repartition(2 * spark.sparkContext.defaultParallelism)
     )
     agg = exact_image_aggregates(synth_image_table(docs))
     n = F.col("n_pixels")

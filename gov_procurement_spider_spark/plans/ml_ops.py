@@ -142,15 +142,6 @@ def _bucket_udf(emb: pd.Series) -> pd.Series:
     return pd.Series(list(arr))
 
 
-def embedding_buckets(e: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
-    """(vec_id, embedding) → (vec_id, band, bucket), n_bands rows per vector
-    (the only row inflation left — ×{_N_BANDS}, vs ×512 pre-aggregation rows
-    in the round-2 explode formulation)."""
-    return e.select(
-        "vec_id", F.posexplode(F.slice(_bucket_udf("embedding"), 1, n_bands))
-    ).withColumnsRenamed({"pos": "band", "col": "bucket"})
-
-
 # DuckDB mirror of the signature family: ±1 from md5 parity per (plane, dim),
 # recomputed in SQL (the oracle need not be fast, only identical)
 _SIGN_DUCK = (
@@ -192,21 +183,37 @@ def ml2_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# keep mirrors the Spark-side _MAX_BUCKET cap (dd7 does the same in its
+# oracle): without it a degenerate >cap bucket would diverge the two engines
 _CAND_DUCK = f"""
       buckets AS ({_BUCKETS_DUCK}),
+      keep AS (
+        SELECT band, bucket FROM buckets
+        GROUP BY band, bucket HAVING count(*) <= {{max_bucket}}
+      ),
       cand AS (
         SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
         FROM buckets a
+        JOIN keep USING (band, bucket)
         JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
                       AND a.vec_id <> b.vec_id
       )
 """
 
 
+# bucket cap (scale guarantee, same role as dd2's df-cap / dd7's bucket
+# cap): a bucket of n vectors emits n(n-1)/2 in-row pairs, so a degenerate
+# bucket (all-zero embeddings, or too few planes for the corpus size) is
+# dropped rather than exploded — on BOTH engines. Inert at test scale
+# (buckets ≈ 8 at sf0.1); at 10^9 vectors you ALSO add planes per band so
+# E[bucket] stays small — the cap is the backstop, plane count is the dial.
+_MAX_BUCKET = 1_000
+
+
 @register(
     "ml3_ann_topk",
     f"""
-    WITH {_CAND_DUCK}
+    WITH {_CAND_DUCK.format(max_bucket=_MAX_BUCKET)}
     SELECT q_id, neighbor_id, sim FROM (
       SELECT c.q_id, c.neighbor_id,
              round(list_cosine_similarity(
@@ -230,15 +237,6 @@ def ml3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair space is Σ_bands Σ_buckets n_b², linear for balanced buckets) and
     multi-banding recovers neighbors a single band's hyperplanes split."""
     return ann_lsh_topk(spark, sf_dir)
-
-
-# bucket cap (scale guarantee, same role as dd2's df-cap / dd7's bucket
-# cap): a bucket of n vectors emits n(n-1)/2 in-row pairs, so a degenerate
-# bucket (all-zero embeddings, or too few planes for the corpus size) is
-# dropped rather than exploded. Inert at test scale (buckets ≈ 8 at sf0.1);
-# at 10^9 vectors you ALSO add planes per band so E[bucket] stays small —
-# the cap is the backstop, plane count is the dial.
-_MAX_BUCKET = 1_000
 
 
 def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFrame:
@@ -338,7 +336,7 @@ def embedding_near_dup_pairs(
 @register(
     "dd6_embedding_near_dup",
     f"""
-    WITH {_CAND_DUCK.replace("a.vec_id <> b.vec_id", "a.vec_id < b.vec_id").replace("AS q_id", "AS dup_a").replace("AS neighbor_id", "AS dup_b")}
+    WITH {_CAND_DUCK.format(max_bucket=_MAX_BUCKET).replace("a.vec_id <> b.vec_id", "a.vec_id < b.vec_id").replace("AS q_id", "AS dup_a").replace("AS neighbor_id", "AS dup_b")}
     SELECT c.dup_a, c.dup_b,
            round(list_cosine_similarity(
              ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim

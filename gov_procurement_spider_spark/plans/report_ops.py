@@ -416,14 +416,17 @@ def quote_url(col):
     """urllib.parse.quote-contract percent encoding as a column expression:
     F.url_encode is Java URLEncoder (form encoding), whose output diverges
     from urllib.quote on exactly four characters — '+' for space, '%7E' for
-    '~', and literal '*' and '/'. All four are post-rewritten, so the column
-    matches ``urllib.parse.quote(s)`` for every input, not just the character
-    classes the S2 template happens to exercise (ADVICE r2)."""
+    '~' (quote keeps it literal), literal '*' (quote encodes %2A), and '%2F'
+    for '/' (quote's default safe set keeps '/'). All four are
+    post-rewritten, so the column matches ``urllib.parse.quote(s)`` for
+    every input, not just the character classes the S2 template happens to
+    exercise (ADVICE r2; '/' direction fixed in round-3 review —
+    tests/test_quote_url.py checks the contract against urllib itself)."""
     enc = F.url_encode(col)
     enc = F.replace(enc, F.lit("+"), F.lit("%20"))
     enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
     enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
-    return F.replace(enc, F.lit("/"), F.lit("%2F"))
+    return F.replace(enc, F.lit("%2F"), F.lit("/"))
 
 
 @register(
