@@ -69,9 +69,16 @@ def _frame(rows: list[dict]) -> pd.DataFrame:
     return pd.DataFrame(data, columns=COLS)
 
 
-def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True):
+def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=None):
     """Returns the mapInPandas function over selected frontier rows
-    (priority, disc_epoch, seed_idx, page_idx, pos, kind, url, host)."""
+    (priority, disc_epoch, seed_idx, page_idx, pos, kind, url, host).
+
+    ``links_acc`` (optional Spark accumulator) receives the per-batch
+    discovered-link count, letting the epoch skip a whole probe job over the
+    metric rows. Accumulators in transformations can over-count on task
+    retry, never under-count — and the epoch only branches on ``== 0``, so a
+    retry inflating the count merely takes the (correct, slightly slower)
+    admission path; it can never drop links."""
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,6 +172,8 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True):
                     wall_ms=int((time.perf_counter() - t0) * 1000),
                 )
             )
+            if links_acc is not None:
+                links_acc.add(n_links)
             yield _frame(out)
 
     return fetch

@@ -32,6 +32,7 @@ an exact re-rank of the ≤ salts·budget survivors.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -289,6 +290,18 @@ def run_epoch(
     A zero-budget epoch (frontier pending but every active host's bucket
     below 1 token) still commits: politeness refills and virtual time
     advances, matching the simulator's cadence exactly."""
+    # per-phase wall clock, committed into the epoch manifest ("phase_ms"):
+    # the scheduler's own lineage for finding non-scaling time (a phase whose
+    # wall is flat across core counts is serial overhead — Amdahl's bill)
+    phases: dict[str, float] = {}
+    _t = time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = time.perf_counter()
+        phases[name] = round((now - _t) * 1000.0, 1)
+        _t = now
+
     frontier = ck.read_table(spark, ckpt, epoch, "frontier").persist()
     politeness = ck.read_table(spark, ckpt, epoch, "politeness")
     robots = ck.read_table(spark, ckpt, 0, "robots")
@@ -301,15 +314,20 @@ def run_epoch(
     default_budget = int(spec.burst)
     budgets = politeness.withColumn("budget", F.floor("tokens").cast("int"))
 
-    # one tiny agg decides everything the driver needs: total pending and
-    # whether any host's pending exceeds its budget (if not, the per-host
+    # per-host pending counts, computed ONCE and cached: they feed (a) the
+    # tiny agg below that decides everything the driver needs — total pending
+    # and whether any host's pending exceeds its budget (if not, the per-host
     # top-k window — the only sort in the loop — is skipped entirely; this
     # is the steady-state fast path when politeness isn't the binding
-    # constraint, and the drain phase of every crawl)
+    # constraint, and the drain phase of every crawl) — (b) the active-host
+    # set for the politeness refill, and (c) the fast path's per-host taken
+    # counts (selected == frontier there), so the epoch runs one shuffle over
+    # the frontier keys instead of three separate cached scans
+    host_counts = (
+        frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n_pending")).persist()
+    )
     pending_stats = (
-        frontier.groupBy("host")
-        .agg(F.count(F.lit(1)).alias("n_pending"))
-        .join(F.broadcast(budgets), "host", "left")
+        host_counts.join(F.broadcast(budgets), "host", "left")
         .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
         .agg(
             F.sum("n_pending").alias("n_frontier"),
@@ -320,16 +338,19 @@ def run_epoch(
         .first()
     )
     n_frontier = int(pending_stats["n_frontier"] or 0)
+    _mark("plan")
     if n_frontier == 0:
+        host_counts.unpersist()
         frontier.unpersist()
         return 0, 0
-    active = frontier.select("host").distinct()
+    active = host_counts.select("host")
 
-    epoch_cache = []
+    epoch_cache = [host_counts]
     if pending_stats["constrained"] == 0:
         selected = frontier.select(*FRONTIER_COLS)
         remaining = frontier.select(*FRONTIER_COLS).limit(0)
         n_selected = n_frontier
+        taken = host_counts.withColumnRenamed("n_pending", "n_taken")
     else:
         # Skew-safe per-host top-budget (Zipf host distributions are the
         # norm — site_model.py:55): a plain PARTITION BY host window sorts
@@ -364,6 +385,8 @@ def run_epoch(
             ranked.filter(F.col("rn") > F.col("budget")).select(*FRONTIER_COLS)
         )
         n_selected = selected.count()
+        taken = selected.groupBy("host").agg(F.count(F.lit(1)).alias("n_taken"))
+    _mark("select")
     if n_selected == 0:
         # virtual-time tick: refill buckets, carry frontier unchanged
         ck.write_table(frontier.select(*FRONTIER_COLS), ckpt, out_epoch, "frontier")
@@ -396,15 +419,21 @@ def run_epoch(
     # frontier rows are ~100 B each, so a byte-based scan split would run a
     # million-URL fetch on two cores. Round-robin to 2× task slots.
     fetch_par = spark.sparkContext.defaultParallelism * 2
+    # discovered-link count rides back on an accumulator instead of a probe
+    # job over the metric rows (see make_fetcher: retries can only inflate
+    # it, and the epoch only branches on == 0, so inflation is benign)
+    links_acc = spark.sparkContext.accumulator(0)
     (
         selected.repartition(fetch_par)
-        .mapInPandas(make_fetcher(spec, epoch), schema=FETCH_OUT_SCHEMA)
+        .mapInPandas(
+            make_fetcher(spec, epoch, links_acc=links_acc), schema=FETCH_OUT_SCHEMA
+        )
         .write.mode("overwrite")
         .partitionBy("row_type")
         .option("compression", "none")
         .parquet(fetch_out_path)
     )
-    fetch_out = spark.read.parquet(fetch_out_path)
+    _mark("fetch")
 
     # crawl_log is the proof artifact; when the fast path selected the WHOLE
     # frontier, it is byte-equal to the epoch's frontier snapshot — record a
@@ -415,32 +444,27 @@ def run_epoch(
             selected.withColumn("epoch", F.lit(epoch)), ckpt, out_epoch, "crawl_log"
         )
 
-    # the fetcher's lineage rows say whether anything was discovered — a
-    # tiny partition-pruned read that lets pure-payload epochs (steady
-    # state, drain) skip the entire admission machinery
-    n_links = (
-        fetch_out.filter(F.col("row_type") == "metric")
-        .agg(F.coalesce(F.sum("links_discovered"), F.lit(0)))
-        .first()[0]
-    )
+    # whether anything was discovered (rode back on the fetch job's
+    # accumulator) lets pure-payload epochs (steady state, drain) skip the
+    # entire admission machinery
+    n_links = links_acc.value
+    _mark("links_probe")
 
     if n_links == 0:
         ck.write_table(remaining, ckpt, out_epoch, "frontier")
+        _mark("frontier_write")
         ck.write_table(
-            _advance_politeness(
-                spec,
-                politeness,
-                active,
-                selected.groupBy("host").agg(F.count(F.lit(1)).alias("n_taken")),
-            ),
+            _advance_politeness(spec, politeness, active, taken),
             ckpt,
             out_epoch,
             "politeness",
         )
+        _mark("politeness_write")
         if use_bloom:
             BloomFilter.load(
                 os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz")
             ).save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+        _mark("bloom")
         ck.commit_epoch(
             ckpt,
             out_epoch,
@@ -449,6 +473,7 @@ def run_epoch(
                 "urls_fetched": n_selected,
                 "urls_admitted": 0,
                 "crawl_log_from_frontier": log_is_frontier,
+                "phase_ms": phases,
             },
         )
         for df in epoch_cache:
@@ -457,6 +482,9 @@ def run_epoch(
         return n_frontier, n_selected
 
     # ---- admission: route filter → robots → keep-first → bloom+anti-join
+    # (explicit schema: skips inference listing; pure-payload epochs above
+    # never open the directory at all)
+    fetch_out = spark.read.schema(FETCH_OUT_SCHEMA).parquet(fetch_out_path)
     links = (
         fetch_out.filter(F.col("row_type") == "link")
         .select(*FRONTIER_COLS, "route")
@@ -507,6 +535,7 @@ def run_epoch(
         admitted = cand.join(seen, "url", "left_anti").persist()
 
     n_admitted = admitted.count()
+    _mark("admission")
 
     # ---- commit next state
     new_frontier = remaining.unionByName(admitted.select(*FRONTIER_COLS)).repartition(
@@ -521,19 +550,21 @@ def run_epoch(
         out_epoch,
         "seen_new",
     )
+    _mark("frontier_write")
 
-    taken = selected.groupBy("host").agg(F.count(F.lit(1)).alias("n_taken"))
     ck.write_table(
         _advance_politeness(spec, politeness, active, taken),
         ckpt,
         out_epoch,
         "politeness",
     )
+    _mark("politeness_write")
 
     if use_bloom and bf is not None:
         if n_admitted > 0:
             _bloom_add_from_df(bf, admitted.select("url_hash"))
         bf.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+    _mark("bloom")
 
     ck.commit_epoch(
         ckpt,
@@ -543,6 +574,7 @@ def run_epoch(
             "urls_fetched": n_selected,
             "urls_admitted": n_admitted,
             "crawl_log_from_frontier": log_is_frontier,
+            "phase_ms": phases,
         },
     )
     for df in epoch_cache:
