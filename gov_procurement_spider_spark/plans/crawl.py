@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..crawler.bloom import BloomFilter
+from ..crawler.cuckoo import CuckooFilter
 from ..crawler.fetcher import FETCH_OUT_SCHEMA, make_fetcher
 from ..functions.urls import url_hash64, url_path
 from ..operators.skew import with_salt
@@ -127,7 +128,10 @@ class CrawlResult:
         )
 
     def seen(self) -> DataFrame:
-        return self._union("seen_new")
+        """The current exact seen set (tombstone-aware: expire_seen's
+        removals are subtracted unless the URL was re-admitted later)."""
+        last = ck.last_committed(self.ckpt)
+        return _seen_view(self.spark, self.ckpt, last if last is not None else 0)
 
     def metrics(self) -> DataFrame:
         """Per-partition fetch lineage rows emitted by the fetch UDF (T6)."""
@@ -146,9 +150,44 @@ def _bloom_expected(spec: SiteSpec) -> int:
     return max(1024, spec.n_seeds * per_seed)
 
 
-def init_state(spark: SparkSession, spec: SiteSpec, ckpt: str) -> None:
-    """Epoch-0 state: seed frontier, seen=seeds, politeness=burst, robots,
-    Bloom seeded with the seed URLs. All generated as Spark jobs."""
+def _seen_view(spark: SparkSession, ckpt: str, upto_epoch: int) -> DataFrame:
+    """The exact seen set as of ``upto_epoch``: union of per-epoch seen_new
+    appends MINUS expiry tombstones (expire_seen). A row survives expiry iff
+    it was re-admitted after its latest removal — (url, admit_epoch) vs the
+    max removed_epoch per url — so TTL'd URLs become admissible again while
+    later re-admissions stay seen. Zero-fetch (virtual-time) epochs commit
+    neither table and are skipped."""
+    seen_paths = [
+        p
+        for e in range(0, upto_epoch + 1)
+        if os.path.isdir(p := ck.table_path(ckpt, e, "seen_new"))
+    ]
+    seen = spark.read.parquet(*seen_paths)
+    removed_paths = [
+        p
+        for e in range(0, upto_epoch + 1)
+        if os.path.isdir(p := ck.table_path(ckpt, e, "seen_removed"))
+    ]
+    if removed_paths:
+        removed = (
+            spark.read.parquet(*removed_paths)
+            .groupBy("url")
+            .agg(F.max("removed_epoch").alias("_removed_epoch"))
+        )
+        seen = (
+            seen.join(removed, "url", "left")
+            .filter(
+                F.col("_removed_epoch").isNull()
+                | (F.col("admit_epoch") > F.col("_removed_epoch"))
+            )
+            .drop("_removed_epoch")
+        )
+    return seen.select("url")
+
+
+def _seed_frontier(spark: SparkSession, spec: SiteSpec) -> DataFrame:
+    """The deduped seed frontier (keep-first on url — parity with refsim's
+    seed admission loop), host-partitioned. Used by init_state and reseed."""
     n = spec.n_seeds
 
     def gen_seeds(batches):
@@ -177,14 +216,21 @@ def init_state(spark: SparkSession, spec: SiteSpec, ckpt: str) -> None:
         )
         .withColumn("seed_idx", F.col("seed_idx").cast("int"))
     )
-    # keep-first on url (parity with refsim's seed admission loop)
     wdup = W.partitionBy("url").orderBy(*ORDER_KEY)
-    frontier = (
+    return (
         seeds.withColumn("_rn", F.row_number().over(wdup))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .repartition("host")
     )
+
+
+def init_state(
+    spark: SparkSession, spec: SiteSpec, ckpt: str, filter_kind: str = "bloom"
+) -> None:
+    """Epoch-0 state: seed frontier, seen=seeds, politeness=burst, robots,
+    seen-filter seeded with the seed URLs. All generated as Spark jobs."""
+    frontier = _seed_frontier(spark, spec)
     ck.write_table(frontier.select(*FRONTIER_COLS), ckpt, 0, "frontier")
 
     seen = frontier.select(
@@ -213,8 +259,8 @@ def init_state(spark: SparkSession, spec: SiteSpec, ckpt: str) -> None:
     )
     ck.write_table(robots, ckpt, 0, "robots")
 
-    bf = BloomFilter(_bloom_expected(spec))
-    _bloom_add_from_df(bf, seen.select("url_hash"))
+    bf = _make_seen_filter(filter_kind, _bloom_expected(spec))
+    _filter_add_from_df(bf, seen.select("url_hash"))
     bf.save(os.path.join(ck.epoch_dir(ckpt, 0), "bloom.npz"))
     ck.commit_epoch(ckpt, 0, {"n_seeds": frontier.count(), "kind": "init"})
 
@@ -238,14 +284,55 @@ def _bloom_add_from_df(bf: BloomFilter, hashes_df: DataFrame) -> None:
     bf.bits |= rdd.treeReduce(np.bitwise_or)
 
 
-def _bloom_filter_udf(bf: BloomFilter):
-    bits, m, k = bf.bits, bf.m, bf.k
+def _cuckoo_add_from_df(cf: CuckooFilter, hashes_df: DataFrame) -> None:
+    """Distributed cuckoo build: per-partition partial filters (same bucket
+    count), tree-merged by fingerprint re-insertion (cuckoo.py merge) —
+    the deletion-capable counterpart of the Bloom bitmap OR."""
+    m = cf.m
+
+    def part(rows):
+        local = CuckooFilter.empty(m)
+        h = np.fromiter((r[0] for r in rows), dtype=np.int64)
+        local.add_many(h)
+        yield local
+
+    rdd = hashes_df.coalesce(8).rdd.mapPartitions(part)
+    cf.merge(rdd.treeReduce(lambda a, b: a.merge(b)))
+
+
+def _filter_add_from_df(flt, hashes_df: DataFrame) -> None:
+    if isinstance(flt, CuckooFilter):
+        _cuckoo_add_from_df(flt, hashes_df)
+    else:
+        _bloom_add_from_df(flt, hashes_df)
+
+
+def _make_seen_filter(kind: str, n_expected: int):
+    """Seen-set prefilter factory. 'bloom' (default — the seen set is
+    append-only in a plain crawl) or 'cuckoo' (supports expire_seen's
+    per-key deletion without a rebuild; north rule's fallback)."""
+    if kind == "cuckoo":
+        return CuckooFilter(n_expected)
+    if kind == "bloom":
+        return BloomFilter(n_expected)
+    raise ValueError(f"unknown seen-filter kind {kind!r}")
+
+
+def _load_seen_filter(path: str):
+    """Load whichever filter the checkpoint stored (the .npz embeds a
+    ``kind`` field; legacy Bloom files have none)."""
+    z = np.load(path)
+    if "kind" in z.files and str(z["kind"]) == "cuckoo":
+        return CuckooFilter.load(path)
+    return BloomFilter.load(path)
+
+
+def _seen_filter_udf(flt):
+    contains = flt.maybe_contains  # bound method pickles the filter arrays
 
     @F.pandas_udf("boolean")
     def maybe_seen(h: pd.Series) -> pd.Series:
-        local = BloomFilter.__new__(BloomFilter)
-        local.m, local.k, local.bits = m, k, bits
-        return pd.Series(local.maybe_contains(h.to_numpy(dtype=np.int64)))
+        return pd.Series(contains(h.to_numpy(dtype=np.int64)))
 
     return maybe_seen
 
@@ -397,7 +484,7 @@ def run_epoch(
             "politeness",
         )
         if use_bloom:
-            BloomFilter.load(
+            _load_seen_filter(
                 os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz")
             ).save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
         ck.commit_epoch(
@@ -461,7 +548,7 @@ def run_epoch(
         )
         _mark("politeness_write")
         if use_bloom:
-            BloomFilter.load(
+            _load_seen_filter(
                 os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz")
             ).save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
         _mark("bloom")
@@ -514,17 +601,11 @@ def run_epoch(
         .withColumn("url_hash", url_hash64("url"))
     )
 
-    # zero-fetch (virtual-time) epochs commit no seen_new dir — skip them
-    seen_paths = [
-        p
-        for e in range(0, epoch + 1)
-        if os.path.isdir(p := ck.table_path(ckpt, e, "seen_new"))
-    ]
-    seen = spark.read.parquet(*seen_paths).select("url")
+    seen = _seen_view(spark, ckpt, epoch)
 
     if use_bloom:
-        bf = BloomFilter.load(os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz"))
-        cand = cand.withColumn("_maybe", _bloom_filter_udf(bf)("url_hash")).persist()
+        bf = _load_seen_filter(os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz"))
+        cand = cand.withColumn("_maybe", _seen_filter_udf(bf)("url_hash")).persist()
         definite_new = cand.filter(~F.col("_maybe")).drop("_maybe")
         suspect = cand.filter(F.col("_maybe")).drop("_maybe")
         admitted = definite_new.unionByName(
@@ -562,7 +643,7 @@ def run_epoch(
 
     if use_bloom and bf is not None:
         if n_admitted > 0:
-            _bloom_add_from_df(bf, admitted.select("url_hash"))
+            _filter_add_from_df(bf, admitted.select("url_hash"))
         bf.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
     _mark("bloom")
 
@@ -587,7 +668,11 @@ def run_epoch(
 
 
 def init_steady_frontier(
-    spark: SparkSession, spec: SiteSpec, ckpt: str, n_urls: int
+    spark: SparkSession,
+    spec: SiteSpec,
+    ckpt: str,
+    n_urls: int,
+    filter_kind: str = "bloom",
 ) -> None:
     """Steady-state bench setup: a frontier preloaded with `n_urls` pending
     detail URLs across `spec.n_hosts` hosts — the regime every epoch of a
@@ -641,8 +726,8 @@ def init_steady_frontier(
         0,
         "robots",
     )
-    bf = BloomFilter(max(n_urls, 1024))
-    _bloom_add_from_df(bf, spark.read.parquet(ck.table_path(ckpt, 0, "seen_new")).select("url_hash"))
+    bf = _make_seen_filter(filter_kind, max(n_urls, 1024))
+    _filter_add_from_df(bf, spark.read.parquet(ck.table_path(ckpt, 0, "seen_new")).select("url_hash"))
     bf.save(os.path.join(ck.epoch_dir(ckpt, 0), "bloom.npz"))
     ck.commit_epoch(ckpt, 0, {"n_urls": n_urls, "kind": "steady_state_init"})
 
@@ -654,13 +739,16 @@ def run_crawl(
     max_epochs: int = 10_000,
     use_bloom: bool = True,
     resume: bool = True,
+    filter_kind: str = "bloom",
 ) -> CrawlResult:
-    """Run (or resume) the crawl to frontier exhaustion."""
+    """Run (or resume) the crawl to frontier exhaustion. ``filter_kind``
+    picks the seen-set prefilter at init ('bloom' | 'cuckoo'); resumed
+    crawls keep whatever the checkpoint stored."""
     if resume:
         ck.cleanup_uncommitted(ckpt)
     last = ck.last_committed(ckpt)
     if last is None:
-        init_state(spark, spec, ckpt)
+        init_state(spark, spec, ckpt, filter_kind=filter_kind)
         last = 0
     epoch = last
     while epoch < max_epochs:
@@ -669,3 +757,101 @@ def run_crawl(
             break
         epoch += 1
     return CrawlResult(ckpt=ckpt, epochs=epoch, spark=spark)
+
+
+def expire_seen(spark: SparkSession, ckpt: str, urls_df: DataFrame) -> int:
+    """TTL / policy expiry: make previously-crawled URLs admissible again
+    (north rule: the cuckoo filter exists exactly for this).
+
+    Tombstones the URLs out of the exact seen set (a ``seen_removed`` table
+    in a fresh epoch commit — parquet is append-only, like Iceberg delete
+    files) and updates the seen prefilter:
+
+    - cuckoo: per-key ``delete_many`` on the loaded filter — O(batch), no
+      rebuild. The members-only deletion contract holds by construction:
+      the batch is first semi-joined against the exact seen view.
+    - bloom: cannot forget; the filter is REBUILT from the post-expiry
+      exact set (a full scan — the cost that motivates the cuckoo
+      fallback).
+
+    Frontier and politeness carry forward unchanged; returns the number of
+    URLs actually expired. The expiry batch's hashes are collected to the
+    driver for the cuckoo delete — expiry is an operator-initiated, bounded
+    batch (chunk the caller's frame for very large TTL sweeps)."""
+    last = ck.last_committed(ckpt)
+    assert last is not None, "expire_seen needs an initialised checkpoint"
+    out_epoch = last + 1
+
+    gone = (
+        urls_df.select("url")
+        .distinct()
+        .join(_seen_view(spark, ckpt, last), "url", "semi")
+        .withColumn("url_hash", url_hash64("url"))
+        .withColumn("removed_epoch", F.lit(out_epoch))
+        .persist()
+    )
+    n_expired = gone.count()
+    ck.write_table(gone, ckpt, out_epoch, "seen_removed")
+    ck.write_table(
+        ck.read_table(spark, ckpt, last, "frontier"), ckpt, out_epoch, "frontier"
+    )
+    ck.write_table(
+        ck.read_table(spark, ckpt, last, "politeness"), ckpt, out_epoch, "politeness"
+    )
+
+    flt = _load_seen_filter(os.path.join(ck.epoch_dir(ckpt, last), "bloom.npz"))
+    if isinstance(flt, CuckooFilter):
+        hashes = np.array(
+            [r[0] for r in gone.select("url_hash").collect()], dtype=np.int64
+        )
+        flt.delete_many(hashes)
+    else:
+        remaining = _seen_view(spark, ckpt, out_epoch).withColumn(
+            "url_hash", url_hash64("url")
+        )
+        flt = BloomFilter(max(1024, remaining.count()))
+        _bloom_add_from_df(flt, remaining.select("url_hash"))
+    flt.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+
+    ck.commit_epoch(
+        ckpt,
+        out_epoch,
+        {"kind": "expiry", "processed_epoch": last, "urls_expired": n_expired},
+    )
+    gone.unpersist()
+    return n_expired
+
+
+def reseed(spark: SparkSession, spec: SiteSpec, ckpt: str) -> None:
+    """Recrawl entry point: re-inject the seed list pages into the frontier
+    (keep-first against rows already pending) and reset politeness buckets
+    to a full burst — the state a fresh crawl starts from. Combined with
+    expire_seen over the previous crawl's URLs, a resumed run_crawl
+    reproduces the reference crawl order again from the new epoch
+    (tests/test_recrawl.py proves the second pass bit-identical)."""
+    last = ck.last_committed(ckpt)
+    assert last is not None, "reseed needs an initialised checkpoint"
+    out_epoch = last + 1
+
+    carried = ck.read_table(spark, ckpt, last, "frontier")
+    wdup = W.partitionBy("url").orderBy(*ORDER_KEY)
+    frontier = (
+        carried.select(*FRONTIER_COLS)
+        .unionByName(_seed_frontier(spark, spec).select(*FRONTIER_COLS))
+        .withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .repartition("host")
+    )
+    ck.write_table(frontier, ckpt, out_epoch, "frontier")
+    politeness = ck.read_table(spark, ckpt, last, "politeness")
+    ck.write_table(
+        politeness.withColumn("tokens", F.lit(float(spec.burst))),
+        ckpt,
+        out_epoch,
+        "politeness",
+    )
+    _load_seen_filter(os.path.join(ck.epoch_dir(ckpt, last), "bloom.npz")).save(
+        os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz")
+    )
+    ck.commit_epoch(ckpt, out_epoch, {"kind": "reseed", "processed_epoch": last})

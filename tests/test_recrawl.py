@@ -1,0 +1,171 @@
+"""Cuckoo-filtered crawl + expiry/recrawl (north rule: the deletion-capable
+seen-set fallback, exercised end-to-end).
+
+Pass 1 runs the full crawl with the CUCKOO prefilter (same refsim oracle as
+the Bloom path — the prefilter must be semantically invisible). Then every
+seen URL is expired (tombstones + per-key cuckoo deletes, NO rebuild), the
+seeds are re-injected, and the resumed crawl must reproduce the reference
+crawl order a second time, epoch-shifted but otherwise bit-identical — the
+TTL-recrawl contract.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from gov_procurement_spider_spark.crawler.cuckoo import CuckooFilter
+from gov_procurement_spider_spark.functions.urls import url_hash64
+from gov_procurement_spider_spark.plans.crawl import (
+    ORDER_KEY,
+    _load_seen_filter,
+    expire_seen,
+    reseed,
+    run_crawl,
+)
+from gov_procurement_spider_spark.refsim import simulate
+from gov_procurement_spider_spark.sources.site_model import SiteSpec
+from gov_procurement_spider_spark.streaming import checkpoint as ck
+
+SPEC = SiteSpec(
+    n_seeds=6,
+    n_hosts=3,
+    detail_space=60,
+    max_list_pages=3,
+    rate_per_sec=2.0,
+    burst=4.0,
+    epoch_seconds=2.0,
+)
+
+ORDER_COLS = ["epoch", "host"] + ORDER_KEY + ["kind", "url"]
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate(SPEC)
+
+
+@pytest.fixture(scope="module")
+def state(spark, sim):
+    """Pass 1 (cuckoo prefilter) → expire all → reseed → pass 2."""
+    ckpt = tempfile.mkdtemp(prefix="crawl_recrawl_")
+    first = run_crawl(spark, SPEC, ckpt, filter_kind="cuckoo")
+    n_seen = first.seen().count()
+    expired = expire_seen(spark, ckpt, first.seen())
+    expiry_epoch = ck.last_committed(ckpt)
+    reseed(spark, SPEC, ckpt)
+    reseed_epoch = ck.last_committed(ckpt)
+    second = run_crawl(spark, SPEC, ckpt)
+    return {
+        "ckpt": ckpt,
+        "first": first,
+        "second": second,
+        "n_seen_pass1": n_seen,
+        "expired": expired,
+        "expiry_epoch": expiry_epoch,
+        "reseed_epoch": reseed_epoch,
+    }
+
+
+def test_pass1_cuckoo_matches_refsim(state, sim):
+    """The cuckoo prefilter is semantically invisible: pass-1 crawl order
+    and URL-seen set equal the sequential oracle, same as the Bloom path."""
+    pass1 = (
+        state["first"]
+        .crawl_order()
+        .filter(f"epoch < {state['expiry_epoch']}")
+        .select(*ORDER_COLS)
+        .collect()
+    )
+    assert [tuple(r) for r in pass1] == [tuple(o) for o in sim.crawl_order]
+
+
+def test_checkpoint_stores_cuckoo(state):
+    flt = _load_seen_filter(
+        os.path.join(ck.epoch_dir(state["ckpt"], 0), "bloom.npz")
+    )
+    assert isinstance(flt, CuckooFilter)
+
+
+def test_expiry_counts_and_filter_deletes(state, sim, spark):
+    """Expiry removed exactly the pass-1 seen set, per-key, no rebuild: the
+    post-expiry filter answers 'definitely new' for (almost) every expired
+    URL — impossible for a Bloom filter without a full rebuild."""
+    assert state["expired"] == state["n_seen_pass1"] == len(sim.url_seen)
+    flt = _load_seen_filter(
+        os.path.join(ck.epoch_dir(state["ckpt"], state["expiry_epoch"]), "bloom.npz")
+    )
+    hashes_df = spark.createDataFrame(
+        [(u,) for u in sorted(sim.url_seen)], ["url"]
+    ).select(url_hash64("url").alias("h"))
+    hashes = np.array([r.h for r in hashes_df.collect()], dtype=np.int64)
+    assert flt.maybe_contains(hashes).mean() < 0.01
+    # and the exact seen view is empty at the expiry epoch
+    from gov_procurement_spider_spark.plans.crawl import _seen_view
+
+    assert _seen_view(spark, state["ckpt"], state["expiry_epoch"]).count() == 0
+
+
+def test_recrawl_reproduces_reference_order(state, sim):
+    """Pass 2 (post expiry+reseed) re-fetches the whole site in exactly the
+    reference order, shifted by the reseed epoch."""
+    shift = state["reseed_epoch"]
+    rows = (
+        state["second"]
+        .crawl_order()
+        .filter(f"epoch >= {shift}")
+        .select(*ORDER_COLS)
+        .collect()
+    )
+    renumbered = [
+        (
+            r.epoch - shift,
+            r.host,
+            r.priority,
+            0 if r.disc_epoch == 0 else r.disc_epoch - shift,
+            r.seed_idx,
+            r.page_idx,
+            r.pos,
+            r.kind,
+            r.url,
+        )
+        for r in rows
+    ]
+    assert renumbered == [tuple(o) for o in sim.crawl_order]
+
+
+def test_seen_restored_after_recrawl(state, sim):
+    assert {r.url for r in state["second"].seen().collect()} == sim.url_seen
+
+
+def test_partial_expiry_keeps_rest_seen(spark, state, sim):
+    """Expiring a subset tombstones only that subset; the rest of the seen
+    set and its filter entries are untouched (no collateral deletes)."""
+    ckpt = state["ckpt"]
+    all_urls = sorted(sim.url_seen)
+    subset = all_urls[:5]
+    before = ck.last_committed(ckpt)
+    n = expire_seen(spark, ckpt, spark.createDataFrame([(u,) for u in subset], ["url"]))
+    assert n == 5
+    now = ck.last_committed(ckpt)
+    from gov_procurement_spider_spark.plans.crawl import _seen_view
+
+    seen_now = {r.url for r in _seen_view(spark, ckpt, now).collect()}
+    assert seen_now == set(all_urls) - set(subset)
+    flt = _load_seen_filter(os.path.join(ck.epoch_dir(ckpt, now), "bloom.npz"))
+    kept_hashes = np.array(
+        [
+            r.h
+            for r in spark.createDataFrame(
+                [(u,) for u in all_urls[5:]], ["url"]
+            )
+            .select(url_hash64("url").alias("h"))
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    assert flt.maybe_contains(kept_hashes).all()
+    assert before + 1 == now
