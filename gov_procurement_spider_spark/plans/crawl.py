@@ -8,9 +8,16 @@ DataFrame dataflow:
   frontier ─ join politeness budgets ─ top-k per host (O2) ─► selected
   selected ─ mapInPandas fetch (S3, Arrow-vectorized) ─► payloads + links
   links ─ route filter (P5) ─ robots anti-filter (T3) ─ keep-first window
-        ─ Bloom prefilter + exact anti-join vs seen (D1) ─► admitted
+        ─ seen-filter prefilter + exact anti-join vs seen (D1) ─► admitted
   commit: frontier' / politeness' / seen+ / fetched+ / crawl_log+ / metrics+
-          / bloom, one manifest per epoch (T5)
+          / seen-filter, one manifest per epoch (T5)
+
+The seen-set prefilter is Bloom by default (append-only crawls) or a cuckoo
+filter (crawler/cuckoo.py) when per-key deletion is needed: expire_seen
+tombstones URLs out of the exact set and deletes them from the cuckoo
+filter without a rebuild; reseed re-injects the seed pages — together the
+TTL-recrawl lifecycle (tests/test_recrawl.py proves the second pass
+reproduces the reference order bit-identically).
 
 Determinism: selection and dedup order by the data-carried key
 (priority, disc_epoch, seed_idx, page_idx, pos) — never by execution order —
