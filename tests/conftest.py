@@ -28,3 +28,9 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def sf_small():
     return SF001
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "submit: spawns fresh spark-submit JVMs (slow; ship-mode contract)"
+    )
