@@ -806,19 +806,21 @@ def expire_seen(spark: SparkSession, ckpt: str, urls_df: DataFrame) -> int:
         ck.read_table(spark, ckpt, last, "politeness"), ckpt, out_epoch, "politeness"
     )
 
-    flt = _load_seen_filter(os.path.join(ck.epoch_dir(ckpt, last), "bloom.npz"))
-    if isinstance(flt, CuckooFilter):
-        hashes = np.array(
-            [r[0] for r in gone.select("url_hash").collect()], dtype=np.int64
-        )
-        flt.delete_many(hashes)
-    else:
-        remaining = _seen_view(spark, ckpt, out_epoch).withColumn(
-            "url_hash", url_hash64("url")
-        )
-        flt = BloomFilter(max(1024, remaining.count()))
-        _bloom_add_from_df(flt, remaining.select("url_hash"))
-    flt.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+    flt_path = os.path.join(ck.epoch_dir(ckpt, last), "bloom.npz")
+    if os.path.exists(flt_path):  # use_bloom=False crawls keep no prefilter
+        flt = _load_seen_filter(flt_path)
+        if isinstance(flt, CuckooFilter):
+            hashes = np.array(
+                [r[0] for r in gone.select("url_hash").collect()], dtype=np.int64
+            )
+            flt.delete_many(hashes)
+        else:
+            remaining = _seen_view(spark, ckpt, out_epoch).withColumn(
+                "url_hash", url_hash64("url")
+            )
+            flt = BloomFilter(max(1024, remaining.count()))
+            _bloom_add_from_df(flt, remaining.select("url_hash"))
+        flt.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
 
     ck.commit_epoch(
         ckpt,
@@ -858,7 +860,9 @@ def reseed(spark: SparkSession, spec: SiteSpec, ckpt: str) -> None:
         out_epoch,
         "politeness",
     )
-    _load_seen_filter(os.path.join(ck.epoch_dir(ckpt, last), "bloom.npz")).save(
-        os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz")
-    )
+    flt_path = os.path.join(ck.epoch_dir(ckpt, last), "bloom.npz")
+    if os.path.exists(flt_path):
+        _load_seen_filter(flt_path).save(
+            os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz")
+        )
     ck.commit_epoch(ckpt, out_epoch, {"kind": "reseed", "processed_epoch": last})
