@@ -6,11 +6,7 @@ SURVEY.md §2 for the operator inventory each entry probes.
 
 from __future__ import annotations
 
-import hashlib
-import os
 import sys
-import tempfile
-import zipfile
 from collections.abc import Callable
 from pathlib import Path
 
@@ -30,23 +26,11 @@ def _ensure_shipped(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     if app in _SHIPPED:
         return
-    pkg_root = Path(__file__).resolve().parent
-    sources = sorted((pkg_root / "gov_procurement_spider_spark").rglob("*.py"))
-    # content-addressed name: a stale zip can never be shipped after the
-    # package changes (a pid-keyed name could, via pid reuse), and identical
-    # content is reused across processes instead of accumulating
-    digest = hashlib.md5()
-    for p in sources:
-        digest.update(bytes(p.relative_to(pkg_root)))
-        digest.update(p.read_bytes())
-    zpath = Path(tempfile.gettempdir()) / f"gps_spark_pyfiles_{digest.hexdigest()[:16]}.zip"
-    if not zpath.exists():
-        tmp = zpath.with_suffix(f".{os.getpid()}.tmp")
-        with zipfile.ZipFile(tmp, "w") as z:
-            for p in sources:
-                z.write(p, p.relative_to(pkg_root))
-        tmp.replace(zpath)  # atomic: concurrent drivers race safely
-    spark.sparkContext.addPyFile(str(zpath))
+    # content-addressed + atomic, shared with the spark-submit CLI path so
+    # both ship modes package identical bytes (shipping.py is the one impl)
+    from gov_procurement_spider_spark.shipping import content_addressed_zip
+
+    spark.sparkContext.addPyFile(content_addressed_zip())
     _SHIPPED.add(app)
 
 

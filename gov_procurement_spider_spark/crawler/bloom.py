@@ -32,6 +32,17 @@ class BloomFilter:
         self.k = max(1, round(m / n_expected * math.log(2)))
         self.bits = bits if bits is not None else np.zeros(self.m // 8, dtype=np.uint8)
 
+    @classmethod
+    def empty_like(cls, other: "BloomFilter") -> "BloomFilter":
+        """A zeroed filter with ``other``'s exact geometry (m, k) — for
+        rebuilds that must keep the capacity the original was sized for
+        (e.g. expire_seen: the post-expiry set is small NOW, but the crawl
+        keeps adding keys at the original spec's rate)."""
+        bf = cls.__new__(cls)
+        bf.m, bf.k = other.m, other.k
+        bf.bits = np.zeros_like(other.bits)
+        return bf
+
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
         """(len(hashes), k) bit positions via double hashing, vectorized."""
         h = hashes.astype(np.uint64)

@@ -48,15 +48,12 @@ def _next_pow2(n: int) -> int:
 class CuckooFilter:
     """4-way, 16-bit-fingerprint cuckoo filter over int64 URL hashes."""
 
-    def __init__(self, n_expected: int, table: np.ndarray | None = None):
+    def __init__(self, n_expected: int):
         n_expected = max(int(n_expected), 1)
         # 95% is the classic safe load factor for 4-slot buckets
         self.m = max(8, _next_pow2(int(np.ceil(n_expected / (_BUCKET_SLOTS * 0.95)))))
-        if table is not None:
-            self.table = table
-        else:
-            self.table = np.zeros((self.m, _BUCKET_SLOTS), dtype=np.uint16)
-        self.fill = (self.table != 0).sum(axis=1).astype(np.uint8)
+        self.table = np.zeros((self.m, _BUCKET_SLOTS), dtype=np.uint16)
+        self.fill = np.zeros(self.m, dtype=np.uint8)
 
     @classmethod
     def empty(cls, m: int) -> "CuckooFilter":
@@ -186,7 +183,6 @@ class CuckooFilter:
             match = self.table[bidx] == dfp[:, None]
             slot = match.argmax(axis=1)
             last = self.fill[bidx].astype(np.int64) - 1
-            rows = np.arange(len(bidx))
             tbl = self.table  # compact: move last occupant into the hole
             tbl[bidx, slot] = tbl[bidx, last]
             tbl[bidx, last] = 0

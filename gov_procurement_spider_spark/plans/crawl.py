@@ -494,10 +494,16 @@ def run_epoch(
             _load_seen_filter(
                 os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz")
             ).save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+        _mark("tick_commit")
         ck.commit_epoch(
             ckpt,
             out_epoch,
-            {"processed_epoch": epoch, "urls_fetched": 0, "urls_admitted": 0},
+            {
+                "processed_epoch": epoch,
+                "urls_fetched": 0,
+                "urls_admitted": 0,
+                "phase_ms": phases,
+            },
         )
         for df in epoch_cache:
             df.unpersist()
@@ -815,11 +821,15 @@ def expire_seen(spark: SparkSession, ckpt: str, urls_df: DataFrame) -> int:
             )
             flt.delete_many(hashes)
         else:
-            remaining = _seen_view(spark, ckpt, out_epoch).withColumn(
-                "url_hash", url_hash64("url")
+            # same geometry as the original (NOT sized to the post-expiry
+            # count: the crawl keeps adding keys at the spec's rate, and a
+            # shrunken filter would saturate)
+            remaining = _seen_view(spark, ckpt, out_epoch).select(
+                url_hash64("url").alias("url_hash")
             )
-            flt = BloomFilter(max(1024, remaining.count()))
-            _bloom_add_from_df(flt, remaining.select("url_hash"))
+            rebuilt = BloomFilter.empty_like(flt)
+            _bloom_add_from_df(rebuilt, remaining)
+            flt = rebuilt
         flt.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
 
     ck.commit_epoch(
@@ -833,26 +843,44 @@ def expire_seen(spark: SparkSession, ckpt: str, urls_df: DataFrame) -> int:
 
 def reseed(spark: SparkSession, spec: SiteSpec, ckpt: str) -> None:
     """Recrawl entry point: re-inject the seed list pages into the frontier
-    (keep-first against rows already pending) and reset politeness buckets
-    to a full burst — the state a fresh crawl starts from. Combined with
-    expire_seen over the previous crawl's URLs, a resumed run_crawl
-    reproduces the reference crawl order again from the new epoch
-    (tests/test_recrawl.py proves the second pass bit-identical)."""
+    (keep-first against rows already pending), mark any seed that is not
+    currently seen as seen (init_state's invariant: seeds are born seen —
+    refsim puts them in the seen set at start, so a recrawl pass must too),
+    and reset politeness buckets to a full burst — the state a fresh crawl
+    starts from. Combined with expire_seen over the previous crawl's URLs,
+    a resumed run_crawl reproduces the reference crawl order again from the
+    new epoch (tests/test_recrawl.py proves the second pass bit-identical)."""
     last = ck.last_committed(ckpt)
     assert last is not None, "reseed needs an initialised checkpoint"
     out_epoch = last + 1
 
     carried = ck.read_table(spark, ckpt, last, "frontier")
+    seeds = _seed_frontier(spark, spec).persist()
     wdup = W.partitionBy("url").orderBy(*ORDER_KEY)
     frontier = (
         carried.select(*FRONTIER_COLS)
-        .unionByName(_seed_frontier(spark, spec).select(*FRONTIER_COLS))
+        .unionByName(seeds.select(*FRONTIER_COLS))
         .withColumn("_rn", F.row_number().over(wdup))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .repartition("host")
     )
     ck.write_table(frontier, ckpt, out_epoch, "frontier")
+
+    # seeds not currently seen (expired, or never crawled) re-enter the seen
+    # set now, exactly like init_state's seed admission; seeds still seen are
+    # left alone so no url ever has two live seen rows
+    seed_seen = (
+        seeds.select("url")
+        .join(_seen_view(spark, ckpt, last), "url", "left_anti")
+        .select(
+            "url",
+            url_hash64("url").alias("url_hash"),
+            F.lit(out_epoch).alias("admit_epoch"),
+        )
+    )
+    ck.write_table(seed_seen, ckpt, out_epoch, "seen_new")
+
     politeness = ck.read_table(spark, ckpt, last, "politeness")
     ck.write_table(
         politeness.withColumn("tokens", F.lit(float(spec.burst))),
@@ -862,7 +890,11 @@ def reseed(spark: SparkSession, spec: SiteSpec, ckpt: str) -> None:
     )
     flt_path = os.path.join(ck.epoch_dir(ckpt, last), "bloom.npz")
     if os.path.exists(flt_path):
-        _load_seen_filter(flt_path).save(
-            os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz")
+        flt = _load_seen_filter(flt_path)
+        _filter_add_from_df(
+            flt, spark.read.parquet(ck.table_path(ckpt, out_epoch, "seen_new"))
+            .select("url_hash")
         )
+        flt.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+    seeds.unpersist()
     ck.commit_epoch(ckpt, out_epoch, {"kind": "reseed", "processed_epoch": last})

@@ -22,6 +22,18 @@ Hyperplane components are ±1 from md5 parity ("plane:{g}:{d}"), precomputed
 here with hashlib (bit-identical to both engines' md5 — asserted against
 DuckDB in tests/test_ann_recall.py) so the signature costs zero runtime
 hashing; the DuckDB oracle recomputes them from md5 in SQL.
+
+Cross-engine float caveat (accepted, documented): sign bits and rounded
+similarities compare float64 sums whose summation ORDER differs between
+numpy (pairwise/SIMD) and DuckDB (sequential). The engines can only diverge
+when a true value sits within the ~1e-13 accumulated-order error of a
+decision boundary (0 for sign bits, a 5e-5 rounding edge for 4dp cell
+ranks) — per-comparison probability ~1e-9 on this data, zero observed
+across three rounds of full-registry parity. The alternative (interpreted
+aggregate/zip_with lambdas to force sequential order) costs ~100× on the
+hot path; if a boundary hit ever surfaces, quantize the INPUTS (embeddings
+to fixed-point ints) rather than slowing the math — the integer-exact
+recipe au1/im1 use.
 """
 
 from __future__ import annotations

@@ -56,6 +56,7 @@ def test_spark_submit_pyfiles_crawl():
             capture_output=True,
             text=True,
             cwd=workdir,
+            env=env,
             timeout=600,
         )
         assert out.returncode == 0, out.stderr[-3000:]
@@ -80,6 +81,7 @@ def test_spark_submit_pyfiles_crawl():
             capture_output=True,
             text=True,
             cwd=workdir,
+            env=env,
             timeout=600,
         )
         assert out2.returncode == 0, out2.stderr[-3000:]
