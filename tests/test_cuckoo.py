@@ -136,3 +136,29 @@ def test_deterministic_build():
     a.add_many(keys)
     b.add_many(keys)
     assert (a.table == b.table).all()
+
+
+# ---- property-based invariants (hypothesis; pure numpy, no Spark) --------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    n_del=st.integers(min_value=0, max_value=3000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_insert_delete_invariants(n, n_del, seed):
+    """For ANY key set and ANY deletion subset: (1) never a false negative
+    on live keys, (2) live-key count tracks exactly, (3) deleting members
+    always succeeds."""
+    rng = np.random.default_rng(seed)
+    keys = rng.choice(np.int64(1) << 60, size=n, replace=False).astype(np.int64)
+    cf = CuckooFilter(max(n, 64))
+    cf.add_many(keys)
+    assert cf.maybe_contains(keys).all()
+    dels = keys[: min(n_del, n)]
+    assert cf.delete_many(dels).all()
+    kept = keys[min(n_del, n):]
+    assert cf.maybe_contains(kept).all()
+    assert len(cf) == len(kept)
