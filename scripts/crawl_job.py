@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--steady-urls", type=int, default=0,
                     help="run one steady-state epoch of N preloaded URLs "
                          "instead of a site crawl")
+    ap.add_argument("--recrawl", action="store_true",
+                    help="TTL recrawl: expire every seen URL, reseed, and "
+                         "crawl again (requires an existing --ckpt; cuckoo "
+                         "checkpoints expire per-key with no rebuild)")
     args = ap.parse_args()
 
     # imports resolve from the --py-files zip (spark-submit puts it on
@@ -47,7 +51,10 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from gov_procurement_spider_spark.plans.crawl import (
+        CrawlResult,
+        expire_seen,
         init_steady_frontier,
+        reseed,
         run_crawl,
         run_epoch,
     )
@@ -70,7 +77,20 @@ def main() -> None:
         max_dim=args.max_dim,
     )
     t0 = time.perf_counter()
-    if args.steady_urls:
+    if args.recrawl:
+        prior = CrawlResult(ckpt=args.ckpt, epochs=0, spark=spark)
+        n_expired = expire_seen(spark, args.ckpt, prior.seen())
+        reseed(spark, spec, args.ckpt)
+        res = run_crawl(spark, spec, args.ckpt, max_epochs=args.max_epochs)
+        wall = time.perf_counter() - t0
+        out = {
+            "mode": "recrawl",
+            "urls_expired": n_expired,
+            "epochs": res.epochs,
+            "wall_sec": round(wall, 3),
+        }
+        last = ck.last_committed(args.ckpt)
+    elif args.steady_urls:
         init_steady_frontier(
             spark, spec, args.ckpt, args.steady_urls, filter_kind=args.filter
         )

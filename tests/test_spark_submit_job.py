@@ -89,5 +89,32 @@ def test_spark_submit_pyfiles_crawl():
             [l for l in out2.stdout.splitlines() if l.startswith("{")][-1]
         )
         assert res2["urls"] == res["urls"]  # crawl_order is stable across resume
+        # full TTL-recrawl lifecycle under ship mode: expire-all + reseed +
+        # second pass (cuckoo checkpoint → per-key deletes, no rebuild)
+        out3 = subprocess.run(
+            [
+                spark_submit,
+                "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zpath,
+                str(REPO / "scripts" / "crawl_job.py"),
+                "--ckpt", ckpt,
+                "--seeds", "6", "--hosts", "3", "--detail-space", "60",
+                "--recrawl",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=workdir,
+            env=env,
+            timeout=600,
+        )
+        assert out3.returncode == 0, out3.stderr[-3000:]
+        res3 = json.loads(
+            [l for l in out3.stdout.splitlines() if l.startswith("{")][-1]
+        )
+        assert res3["mode"] == "recrawl"
+        assert res3["urls_expired"] > 0
+        assert res3["epochs"] > res2.get("epochs", 0)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
