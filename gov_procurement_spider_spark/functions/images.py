@@ -41,12 +41,18 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         body = pixels.tobytes()
         code = 0
     elif fmt == "jpeg":
-        q = (pixels.astype(np.int32) // _JPEG_STEP).astype(np.uint8)
-        body = q.tobytes()
+        # step 4 == >>2: stays uint8, no int32 round-trip (bit-identical
+        # quantized values, ~4× less intermediate memory traffic)
+        body = (pixels >> 2).tobytes()
         code = 1
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
-    return _MAGIC + struct.pack("<BII", code, w, h) + zlib.compress(body, 1)
+    # level 0 (stored): the synthetic payloads are uniform-random bytes, so
+    # deflate can only burn CPU — the fetch hot loop's profile showed level 1
+    # spending 21% of per-URL time compressing the incompressible (real
+    # crawled images arrive pre-compressed and would skip re-compression the
+    # same way). Container format unchanged; decompress reads both levels.
+    return _MAGIC + struct.pack("<BII", code, w, h) + zlib.compress(body, 0)
 
 
 def decode_image(data: bytes) -> np.ndarray:
@@ -56,36 +62,50 @@ def decode_image(data: bytes) -> np.ndarray:
         raise ValueError("not a FIMG container and no real codec available")
     code, w, h = struct.unpack("<BII", data[4:13])
     raw = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)
-    if code == 1:  # dequantize (lossy reconstruction at bin centers)
-        raw = np.clip(raw.astype(np.int32) * _JPEG_STEP + _JPEG_STEP // 2, 0, 255).astype(
-            np.uint8
-        )
+    if code == 1:  # dequantize at bin centers: values ≤ 63 → ≤ 254, uint8-safe
+        raw = ((raw << 2) + np.uint8(_JPEG_STEP // 2)).astype(np.uint8)
     return raw
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    if mse == 0:
+    # integer-exact sum of squared error (pixel diffs are small ints; the
+    # float64-cast version moved 16× the bytes for the same exact result)
+    d = a.astype(np.int32) - b.astype(np.int32)
+    ss = int((d * d).sum(dtype=np.int64))
+    if ss == 0:
         return float("inf")
-    return 10.0 * np.log10(255.0**2 / mse)
+    return 10.0 * np.log10(255.0**2 / (ss / a.size))
+
+
+_BLOCK_IDX = np.arange(9)
 
 
 def ahash64(pixels: np.ndarray) -> int:
     """64-bit average hash: grayscale → 8×8 block means → above-mean bits.
 
-    Signed int64 (Spark LongType-compatible)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    Signed int64 (Spark LongType-compatible). One summed-area table gives
+    all 64 block sums in O(h·w) integer work — the slice-per-block version
+    spent 64 tiny .mean() calls per image and dominated the fetch profile
+    (64% of per-URL time)."""
+    gray = pixels.sum(axis=2, dtype=np.uint32)  # 3× the gray value: scale cancels
     h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    blocks = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            blocks[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (blocks > blocks.mean()).flatten()
-    v = 0
-    for bit in bits:
-        v = (v << 1) | int(bit)
+    S = np.zeros((h + 1, w + 1), dtype=np.uint64)
+    S[1:, 1:] = gray.cumsum(axis=0, dtype=np.uint64).cumsum(axis=1)
+    ys = (_BLOCK_IDX * h) // 8
+    xs = (_BLOCK_IDX * w) // 8
+    y1, x1 = ys[:8], xs[:8]
+    y2 = np.maximum(ys[1:], y1 + 1)  # ≥1 row/col per block even when h,w < 8
+    x2 = np.maximum(xs[1:], x1 + 1)
+    s = (
+        S[y2[:, None], x2[None, :]]
+        - S[y1[:, None], x2[None, :]]
+        - S[y2[:, None], x1[None, :]]
+        + S[y1[:, None], x1[None, :]]
+    ).astype(np.int64)
+    cnt = (y2 - y1)[:, None] * (x2 - x1)[None, :]
+    blocks = s / (3.0 * cnt)
+    bits = (blocks > blocks.mean()).ravel()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
