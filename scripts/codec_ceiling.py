@@ -1,0 +1,92 @@
+"""Spark-free parallel-scaling CEILING for the fetch workload (no engine).
+
+Runs the per-URL fetch codec loop (synthesize → encode → hash → decode →
+validate, the exact work crawler/fetcher.py does per detail URL) in K
+INDEPENDENT pinned processes with zero coordination — no Spark, no shuffle,
+no scheduler, no shared state. Aggregate throughput at K vs 4K cores is the
+hardware's embarrassingly-parallel ceiling on this box: all-core turbo
+limits and the single shared memory bus are the only things that can bend
+it. The crawl engine cannot scale better than this ceiling; comparing the
+engine's measured N→4N efficiency against the ceiling's separates
+"scheduler overhead" (the engine's fault) from "single-box hardware" (an
+artifact real 4N-executor clusters, with 4N memory buses, do not have).
+
+Usage:
+  python scripts/codec_ceiling.py                    # K grid → one JSON line
+  python scripts/codec_ceiling.py --worker 3 30      # internal: pinned worker
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+GRID = (2, 4, 8, 16, 32)
+DURATION = 45.0  # seconds per worker — spans several co-tenancy windows
+MAX_DIM = 192  # match scripts/scaling_bench.py's payload spec
+
+
+def worker(core: int, duration: float) -> None:
+    import os
+
+    os.sched_setaffinity(0, {core})
+    from gov_procurement_spider_spark.functions import images
+    from gov_procurement_spider_spark.sources import site_model as sm
+
+    spec = sm.SiteSpec(max_dim=MAX_DIM)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < duration:
+        for i in range(50):
+            u = f"https://h{core}.test/detail/w{core}x{n + i}"
+            meta = sm.payload_meta(spec, u)
+            px = images.gen_pixels(meta["pixel_seed"], meta["w"], meta["h"])
+            data = images.encode_image(px, meta["fmt"])
+            ph = images.ahash64(px)
+            dec = images.decode_image(data)
+            if meta["fmt"] == "png":
+                ok = images.ahash64(dec) == ph
+            else:
+                ok = images.psnr(px, dec) >= 40.0
+            assert ok
+        n += 50
+    wall = time.perf_counter() - t0
+    print(json.dumps({"core": core, "urls": n, "wall": round(wall, 3)}))
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), float(sys.argv[3]))
+        return
+    out = {}
+    for k in GRID:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--worker", str(c), str(DURATION)],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            for c in range(k)
+        ]
+        total = 0
+        for p in procs:
+            stdout, _ = p.communicate(timeout=DURATION + 120)
+            total += json.loads(stdout.strip().splitlines()[-1])["urls"]
+        out[k] = round(total / DURATION, 1)
+    effs = {
+        f"eff_{a}_{b}": round((out[b] / out[a]) / (b / a), 3)
+        for a, b in [(2, 8), (4, 16), (8, 32)]
+        if a in out and b in out
+    }
+    print(json.dumps({"urls_per_sec": out, **effs, "duration_s": DURATION,
+                      "max_dim": MAX_DIM, "note": "independent pinned processes; no Spark"}))
+
+
+if __name__ == "__main__":
+    main()
