@@ -35,7 +35,7 @@ MAX_DIM = 192  # match scripts/scaling_bench.py's payload spec
 def worker(core: int, duration: float) -> None:
     import os
 
-    os.sched_setaffinity(0, {core})
+    os.sched_setaffinity(0, {core})  # parent passes a core from ITS mask
     from gov_procurement_spider_spark.functions import images
     from gov_procurement_spider_spark.sources import site_model as sm
 
@@ -50,10 +50,15 @@ def worker(core: int, duration: float) -> None:
             data = images.encode_image(px, meta["fmt"])
             ph = images.ahash64(px)
             dec = images.decode_image(data)
+            # EXACT mirror of crawler/fetcher.py's ingest validation — the
+            # ceiling must measure the same per-URL work the engine does
             if meta["fmt"] == "png":
-                ok = images.ahash64(dec) == ph
+                ok = bool((dec == px).all()) and images.ahash64(dec) == ph
             else:
-                ok = images.psnr(px, dec) >= 40.0
+                dist = bin(
+                    (images.ahash64(dec) ^ ph) & ((1 << 64) - 1)
+                ).count("1")
+                ok = images.psnr(px, dec) >= 40.0 and dist <= 8
             assert ok
         n += 50
     wall = time.perf_counter() - t0
@@ -64,21 +69,25 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), float(sys.argv[3]))
         return
+    import os
+
+    avail = sorted(os.sched_getaffinity(0))  # only pin cores we actually have
     out = {}
-    for k in GRID:
+    for k in (g for g in GRID if g <= len(avail)):
         procs = [
             subprocess.Popen(
-                [sys.executable, __file__, "--worker", str(c), str(DURATION)],
+                [sys.executable, __file__, "--worker", str(avail[c]), str(DURATION)],
                 stdout=subprocess.PIPE,
                 text=True,
             )
             for c in range(k)
         ]
-        total = 0
+        rate = 0.0
         for p in procs:
             stdout, _ = p.communicate(timeout=DURATION + 120)
-            total += json.loads(stdout.strip().splitlines()[-1])["urls"]
-        out[k] = round(total / DURATION, 1)
+            r = json.loads(stdout.strip().splitlines()[-1])
+            rate += r["urls"] / r["wall"]  # measured wall, not nominal
+        out[k] = round(rate, 1)
     effs = {
         f"eff_{a}_{b}": round((out[b] / out[a]) / (b / a), 3)
         for a, b in [(2, 8), (4, 16), (8, 32)]

@@ -81,11 +81,17 @@ def main() -> None:
         prior = CrawlResult(ckpt=args.ckpt, epochs=0, spark=spark)
         n_expired = expire_seen(spark, args.ckpt, prior.seen())
         reseed(spark, spec, args.ckpt)
-        res = run_crawl(spark, spec, args.ckpt, max_epochs=args.max_epochs)
+        # --max-epochs means "epochs allowed for THIS pass": run_crawl's cap
+        # is an absolute epoch number, and the recrawl resumes past the
+        # original crawl's epochs (+2 for the expiry and reseed commits),
+        # so an unadjusted cap would silently crawl zero epochs
+        cap = (ck.last_committed(args.ckpt) or 0) + args.max_epochs
+        res = run_crawl(spark, spec, args.ckpt, max_epochs=cap)
         wall = time.perf_counter() - t0
         out = {
             "mode": "recrawl",
             "urls_expired": n_expired,
+            "urls": res.crawl_order().count(),  # BOTH passes (proof artifact)
             "epochs": res.epochs,
             "wall_sec": round(wall, 3),
         }

@@ -115,6 +115,8 @@ def test_spark_submit_pyfiles_crawl():
         )
         assert res3["mode"] == "recrawl"
         assert res3["urls_expired"] > 0
-        assert res3["epochs"] > res2.get("epochs", 0)
+        # the second pass must actually FETCH: the deterministic site yields
+        # an identical pass-2 crawl, so the total proof artifact doubles
+        assert res3["urls"] == 2 * res["urls"], (res3["urls"], res["urls"])
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
