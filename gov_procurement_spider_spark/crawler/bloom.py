@@ -22,6 +22,10 @@ import math
 import numpy as np
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+# per-byte popcount lookup (numpy < 2 has no bitwise_count)
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1, dtype=np.int64
+)
 
 
 class BloomFilter:
@@ -64,6 +68,15 @@ class BloomFilter:
         pos = self._positions(np.asarray(hashes))
         byte = self.bits[pos >> 3]
         return ((byte >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+
+    def fill_fraction(self) -> float:
+        """Fraction of set bits — the saturation gauge recorded per epoch
+        manifest (false-positive rate ≈ fill^k). Chunked LUT popcount so a
+        10^10-bit filter (1.25 GB) never allocates a same-size temp."""
+        total = 0
+        for i in range(0, len(self.bits), 1 << 24):
+            total += int(_POPCNT[self.bits[i : i + (1 << 24)]].sum(dtype=np.int64))
+        return total / float(self.m)
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, bits=self.bits, m=self.m, k=self.k)

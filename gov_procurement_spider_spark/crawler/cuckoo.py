@@ -209,8 +209,12 @@ class CuckooFilter:
     def __len__(self) -> int:
         return int(self.fill.astype(np.int64).sum())
 
+    @property
+    def capacity(self) -> int:
+        return self.m * _BUCKET_SLOTS
+
     def load_factor(self) -> float:
-        return len(self) / float(self.m * _BUCKET_SLOTS)
+        return len(self) / float(self.capacity)
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, kind="cuckoo", table=self.table, m=self.m)

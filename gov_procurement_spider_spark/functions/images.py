@@ -1,9 +1,11 @@
 """Image payload codec + perceptual hash + PSNR, pure numpy.
 
-The container has no PIL/cv2, so real JPEG/PNG codecs are stubbed behind an
-import-try (``decode_real``); the engine runs on a deterministic fake codec
-with the same *shape*: ``png`` round-trips losslessly, ``jpeg`` is genuinely
-lossy (uniform quantization, PSNR ≈ 46 dB > the 40 dB gate) and deterministic.
+Two codec paths behind one ``decode_image`` dispatch (by container magic):
+real PNG/JPEG via PIL when present (``decode_real`` — this build container
+lacks PIL, so tests/test_real_codec.py is skipif-gated but the path is
+wired), else the deterministic fake codec with the same *shape*: ``png``
+round-trips losslessly, ``jpeg`` is genuinely lossy (uniform quantization,
+PSNR ≈ 46 dB > the 40 dB gate) and deterministic.
 The Spark-side plumbing — binary columns, Arrow batches, vectorized pandas
 UDF signatures — is real and what the reference's per-URL Chrome fetch
 (jiangsu.py:218-232) is replaced by.
@@ -55,11 +57,53 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     return _MAGIC + struct.pack("<BII", code, w, h) + zlib.compress(body, 0)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
+def decode_real(data: bytes) -> np.ndarray:
+    """Real PNG/JPEG → (h, w, 3) uint8 via PIL, when the container has it.
+    Same return contract as the fake codec, so everything downstream —
+    ahash64, psnr, the fetch gates, image_plan's aggregates — applies
+    unchanged (VERDICT r3 item 7; tests/test_real_codec.py exercises the
+    encode→decode→gate loop, skipif no PIL)."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "real PNG/JPEG payload but PIL is not installed in this container"
+        )
+    import io
+
+    from PIL import Image as _Image
+
+    with _Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def encode_real(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    """Real PNG/JPEG encode via PIL (the test-side counterpart of
+    decode_real; production payloads arrive already encoded off the wire)."""
+    if not HAVE_PIL:
+        raise NotImplementedError("PIL is not installed in this container")
+    import io
+
+    from PIL import Image as _Image
+
+    buf = io.BytesIO()
+    img = _Image.fromarray(pixels, "RGB")
+    if fmt == "png":
+        img.save(buf, format="PNG")
+    elif fmt == "jpeg":
+        img.save(buf, format="JPEG", quality=quality)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    return buf.getvalue()
+
+
 def decode_image(data: bytes) -> np.ndarray:
     if data[:4] != _MAGIC:
-        if HAVE_PIL:
-            raise NotImplementedError("real-codec path: wire PIL decode here")
-        raise ValueError("not a FIMG container and no real codec available")
+        if data[:8] == _PNG_SIG or data[:3] == _JPEG_SIG:
+            return decode_real(data)
+        raise ValueError("unrecognized image container")
     code, w, h = struct.unpack("<BII", data[4:13])
     raw = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)
     if code == 1:  # dequantize at bin centers: values ≤ 63 → ≤ 254, uint8-safe

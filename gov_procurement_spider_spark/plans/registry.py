@@ -10,11 +10,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+# an oracle may be a plain SQL string or a zero-arg callable resolved at
+# oracle_sql() time — for queries whose oracle embeds values derived from
+# the data (ml4's trained IVF centroids become SQL literals lazily, so
+# import stays cheap and the literals always match the current testdata)
+Oracle = "str | Callable[[], str] | None"
 
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+_REGISTRY: dict[str, tuple[QueryFn, object]] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle):
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = (fn, oracle)
         return fn
@@ -27,4 +32,8 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {
+        k: (v[1]() if callable(v[1]) else v[1])
+        for k, v in _REGISTRY.items()
+        if v[1] is not None
+    }

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 import zipfile
 from pathlib import Path
 
@@ -47,11 +46,36 @@ def write_pyfiles_zip(out_path: str) -> str:
     return str(out)
 
 
+def _zip_content_digest(path: Path) -> str | None:
+    """md5 over the zip's entries, computed exactly like ``pyfiles_digest``
+    (entry names sorted as flat strings — PurePath ordering IS flat string
+    ordering — name bytes then content bytes), so it equals the source
+    digest iff the zip really contains the current package bytes."""
+    try:
+        digest = hashlib.md5()
+        with zipfile.ZipFile(path) as z:
+            for name in sorted(z.namelist()):
+                digest.update(name.encode())
+                digest.update(z.read(name))
+        return digest.hexdigest()
+    except (OSError, zipfile.BadZipFile, KeyError):
+        return None
+
+
 def content_addressed_zip(out_dir: str | None = None, prefix: str = "gps_pyfiles") -> str:
-    """The content-addressed zip path in ``out_dir`` (default: tempdir),
-    built only if that exact content isn't already there."""
-    d = Path(out_dir) if out_dir else Path(tempfile.gettempdir())
-    out = d / f"{prefix}-{pyfiles_digest()[:16]}.zip"
-    if not out.exists():
+    """The content-addressed zip path in ``out_dir``, built only if that
+    exact content isn't already there.
+
+    Default ``out_dir`` is the repo's own ``dist/`` — NOT the shared
+    world-writable tempdir: sc.addPyFile executes whatever sits at this
+    path on every worker, and a predictable name in /tmp would let any
+    other local user pre-plant it (ADVICE r3). An existing file is reused
+    only after its CONTENT digest is re-verified against the sources, so
+    even a same-named file with foreign bytes is overwritten, never
+    shipped."""
+    d = Path(out_dir) if out_dir else _REPO_ROOT / "dist"
+    digest = pyfiles_digest()
+    out = d / f"{prefix}-{digest[:16]}.zip"
+    if not out.exists() or _zip_content_digest(out) != digest:
         write_pyfiles_zip(str(out))
     return str(out)

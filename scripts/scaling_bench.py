@@ -33,11 +33,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def _spawn_spinners(first_core: int, last_core: int) -> list:
-    """Busy-loop one process per core in [first_core, last_core] — used by
-    --equal-occupancy to hold TOTAL box occupancy constant across configs."""
+def _spawn_spinners(cores: list[int]) -> list:
+    """Busy-loop one process per listed core id — used by --equal-occupancy
+    to hold TOTAL box occupancy constant across configs."""
     procs = []
-    for c in range(first_core, last_core + 1):
+    for c in cores:
         procs.append(
             subprocess.Popen(
                 ["taskset", "-c", str(c), sys.executable, "-c", "while True: pass"],
@@ -107,15 +107,20 @@ def run_once(
     #    32/32 for every config, so the ratio measures the ENGINE.
     spinners = []
     if equal_occupancy:
-        n_total = os.cpu_count() or 32
-        if cores < n_total:
+        # work from the process's ALLOWED cpu set, not 0..n-1: under an
+        # external taskset/cgroup confinement range(cores) could raise
+        # OSError or pin us onto the very cores the spinners occupy
+        # (ADVICE r3; codec_ceiling.py already does this)
+        allowed = sorted(os.sched_getaffinity(0))
+        if cores < len(allowed):
             # confine THIS process (and the Spark JVM + python workers it
-            # spawns) to cores 0..cores-1 before pinning spinners to the
-            # rest: orchestrate() does this via taskset, but a standalone
-            # `--once --equal-occupancy` run would otherwise contend with
-            # its own spinners instead of holding occupancy constant
-            os.sched_setaffinity(0, range(cores))
-            spinners = _spawn_spinners(cores, n_total - 1)
+            # spawns) to the first `cores` allowed CPUs before pinning
+            # spinners to the rest: orchestrate() does this via taskset,
+            # but a standalone `--once --equal-occupancy` run would
+            # otherwise contend with its own spinners instead of holding
+            # occupancy constant
+            os.sched_setaffinity(0, allowed[:cores])
+            spinners = _spawn_spinners(allowed[cores:])
     walls: list[float] = []
     cold_wall = None
     try:
@@ -193,7 +198,8 @@ def orchestrate(
             # local[8] on a 32-core box would borrow idle cores for its
             # python workers, overstating small-cluster throughput
             if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+                allowed = sorted(os.sched_getaffinity(0))[:cores]
+                cmd = ["taskset", "-c", ",".join(map(str, allowed))] + cmd
             out = subprocess.run(
                 cmd, capture_output=True, text=True, cwd=str(REPO), timeout=3600
             )

