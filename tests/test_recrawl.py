@@ -241,6 +241,67 @@ def test_grow_cuckoo_rebuilds_at_2x(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_cuckoo_growth_triggered_in_epoch(spark):
+    """End-to-end growth trigger (ADVICE r3): seed a crawl with a
+    deliberately tiny cuckoo filter so the first link-admitting epoch
+    crosses the safe load factor. run_epoch must rebuild into a larger
+    table mid-crawl, and the grown filter must stay semantically invisible:
+    the finished crawl's order and seen set still equal the sequential
+    oracle exactly."""
+    import shutil
+
+    from gov_procurement_spider_spark.plans.crawl import init_state
+    from gov_procurement_spider_spark.refsim import simulate
+
+    spec = SiteSpec(
+        n_seeds=6,
+        n_hosts=3,
+        detail_space=60,
+        max_list_pages=3,
+        rate_per_sec=50.0,
+        burst=50.0,
+    )
+    ckpt = tempfile.mkdtemp(prefix="cuckoo_grow_e2e_")
+    init_state(spark, spec, ckpt, filter_kind="cuckoo")
+    # swap in a near-toy filter: capacity 32 slots, seeds already inserted
+    tiny = CuckooFilter(16)
+    seed_hashes = np.array(
+        [
+            r.url_hash
+            for r in spark.read.parquet(ck.table_path(ckpt, 0, "seen_new"))
+            .select("url_hash")
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    tiny.add_many(seed_hashes)
+    tiny.save(os.path.join(ck.epoch_dir(ckpt, 0), "bloom.npz"))
+
+    result = run_crawl(spark, spec, ckpt)
+    final = _load_seen_filter(
+        os.path.join(ck.epoch_dir(ckpt, ck.last_committed(ckpt)), "bloom.npz")
+    )
+    assert isinstance(final, CuckooFilter)
+    assert final.m > tiny.m, "growth branch never fired"
+    # no false negatives across growth: every seen URL still maybe-seen
+    all_hashes = np.array(
+        [
+            r.h
+            for r in result.seen()
+            .select(url_hash64("url").alias("h"))
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    assert final.maybe_contains(all_hashes).all()
+    assert final.load_factor() <= 0.9
+    sim = simulate(spec)
+    got = result.crawl_order().select(*ORDER_COLS).collect()
+    assert [tuple(r) for r in got] == [tuple(o) for o in sim.crawl_order]
+    assert {r.url for r in result.seen().collect()} == sim.url_seen
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_epoch_manifest_records_filter_load(spark):
     """ADVICE r3: saturation is visible in lineage before it becomes fatal —
     every admission-committing epoch manifest carries seen_filter_load."""
