@@ -272,6 +272,28 @@ def init_state(
     ck.commit_epoch(ckpt, 0, {"n_seeds": frontier.count(), "kind": "init"})
 
 
+_MIN_URLS_PER_FETCH_TASK = 4  # drain-epoch floor; 2× slots still caps above
+
+
+def _write_tables_concurrently(
+    ckpt: str, epoch: int, tables: list[tuple[DataFrame, str]]
+) -> None:
+    """Write independent epoch-state tables from one thread each so their
+    fixed job-submission latencies overlap (Spark schedules concurrent jobs
+    from one session; the writes target distinct dirs). Run serially these
+    were ~1 s of a ~4.5 s small-epoch wall (phase_ms, r4 profile) — pure
+    driver-side latency, invisible at big-epoch scale but the dominant term
+    of the reference-site crawl."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(tables)) as ex:
+        futs = [
+            ex.submit(ck.write_table, df, ckpt, epoch, name) for df, name in tables
+        ]
+        for f in futs:
+            f.result()
+
+
 _BUILD_ROWS_PER_PART = 50_000_000  # ~1 partial per 50M hashes per task
 
 
@@ -576,8 +598,14 @@ def run_epoch(
     fetch_out_path = ck.table_path(ckpt, out_epoch, "fetch_out")
     # fetch tasks must be sized by fetch *cost*, not by input bytes: the
     # frontier rows are ~100 B each, so a byte-based scan split would run a
-    # million-URL fetch on two cores. Round-robin to 2× task slots.
-    fetch_par = spark.sparkContext.defaultParallelism * 2
+    # million-URL fetch on two cores. Round-robin to 2× task slots — but no
+    # more tasks than ~n_selected/4: a 96-URL drain epoch on 64 tasks paid
+    # more scheduling than fetching (r4 phase profile). At scale the 2×-slot
+    # cap always binds, so the big-epoch plan is unchanged.
+    fetch_par = min(
+        spark.sparkContext.defaultParallelism * 2,
+        max(1, -(-n_selected // _MIN_URLS_PER_FETCH_TASK)),
+    )
     # discovered-link count rides back on an accumulator instead of a probe
     # job over the metric rows (see make_fetcher: retries can only inflate
     # it, and the epoch only branches on == 0, so inflation is benign)
@@ -610,15 +638,15 @@ def run_epoch(
     _mark("links_probe")
 
     if n_links == 0:
-        ck.write_table(remaining, ckpt, out_epoch, "frontier")
-        _mark("frontier_write")
-        ck.write_table(
-            _advance_politeness(spec, politeness, active, taken),
+        _write_tables_concurrently(
             ckpt,
             out_epoch,
-            "politeness",
+            [
+                (remaining, "frontier"),
+                (_advance_politeness(spec, politeness, active, taken), "politeness"),
+            ],
         )
-        _mark("politeness_write")
+        _mark("state_writes")
         flt = None
         if use_bloom:
             flt = _load_seen_filter(
@@ -693,28 +721,27 @@ def run_epoch(
     n_admitted = admitted.count()
     _mark("admission")
 
-    # ---- commit next state
+    # ---- commit next state (independent writes overlapped; admitted is
+    # persisted + already materialized by the count, so concurrent readers
+    # share the cache)
     new_frontier = remaining.unionByName(admitted.select(*FRONTIER_COLS)).repartition(
         "host"
     )
-    ck.write_table(new_frontier, ckpt, out_epoch, "frontier")
-    ck.write_table(
-        admitted.select(
-            "url", "url_hash", F.lit(out_epoch).alias("admit_epoch")
-        ),
+    _write_tables_concurrently(
         ckpt,
         out_epoch,
-        "seen_new",
+        [
+            (new_frontier, "frontier"),
+            (
+                admitted.select(
+                    "url", "url_hash", F.lit(out_epoch).alias("admit_epoch")
+                ),
+                "seen_new",
+            ),
+            (_advance_politeness(spec, politeness, active, taken), "politeness"),
+        ],
     )
-    _mark("frontier_write")
-
-    ck.write_table(
-        _advance_politeness(spec, politeness, active, taken),
-        ckpt,
-        out_epoch,
-        "politeness",
-    )
-    _mark("politeness_write")
+    _mark("state_writes")
 
     if use_bloom and bf is not None:
         if n_admitted > 0:
