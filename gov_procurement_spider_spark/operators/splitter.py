@@ -51,12 +51,6 @@ def with_split_status(
     """Add `split_status`, the chosen-delimiter arrays, and `n_items`."""
     core = [spec_col, qty_col, price_col]
 
-    is_attachment = F.lit(False)
-    for c in [name_col, *core]:
-        is_attachment = is_attachment | F.coalesce(
-            F.col(c).contains(ATTACHMENT_MARK), F.lit(False)
-        )
-
     # Plan-construction discipline (round-4 profile): a chained-withColumn
     # version of this cascade spent 2.6 s per FRESH query build in driver-
     # side analysis — each withColumn re-analyzes the growing plan, O(n²)
@@ -73,54 +67,71 @@ def with_split_status(
             arrays[f"_{prefix}{i}"] = _split_clean(F.col(colname), d)
     out = df.withColumns(arrays)
 
-    # projection 2: chosen delimiter + status (references projection 1's cols)
-    chosen_idx = F.lit(-1)
-    any_multi = F.lit(False)
-    for i in range(len(DELIMITERS)):
-        sz = F.size(F.col(f"_s{i}"))
-        aligned = (
-            (sz > 1)
-            & (F.size(F.col(f"_q{i}")) == sz)
-            & (F.size(F.col(f"_p{i}")) == sz)
-            & ((F.size(F.col(f"_n{i}")) == 1) | (F.size(F.col(f"_n{i}")) == sz))
-            & ((F.size(F.col(f"_b{i}")) == 1) | (F.size(F.col(f"_b{i}")) == sz))
+    # projections 2+3 as parser-side expr strings: the same when-cascades
+    # built through the Column API cost ~1 s of per-call py4j chatter per
+    # fresh build (CLAUDE.md r4); a handful of F.expr parses carries the
+    # identical trees. Only generated column names and the attachment mark
+    # appear in the SQL — no user data, no delimiter regexes.
+    att_sql = " OR ".join(
+        f"coalesce(contains(`{c}`, '{ATTACHMENT_MARK}'), false)"
+        for c in [name_col, *core]
+    )
+
+    def _sz(p: str, i: int) -> str:
+        return f"size(_{p}{i})"
+
+    def _aligned(i: int) -> str:
+        return (
+            f"({_sz('s', i)} > 1 AND {_sz('q', i)} = {_sz('s', i)}"
+            f" AND {_sz('p', i)} = {_sz('s', i)}"
+            f" AND ({_sz('n', i)} = 1 OR {_sz('n', i)} = {_sz('s', i)})"
+            f" AND ({_sz('b', i)} = 1 OR {_sz('b', i)} = {_sz('s', i)}))"
         )
-        chosen_idx = F.when(
-            (chosen_idx == -1) & aligned & ~is_attachment, F.lit(i)
-        ).otherwise(chosen_idx)
-        any_multi = any_multi | (sz > 1) | (F.size(F.col(f"_q{i}")) > 1) | (
-            F.size(F.col(f"_p{i}")) > 1
+
+    chosen_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN NOT ({att_sql}) AND {_aligned(i)} THEN {i}"
+            for i in range(len(DELIMITERS))
         )
+        + " ELSE -1 END"
+    )
+    any_multi_sql = " OR ".join(
+        f"({_sz('s', i)} > 1 OR {_sz('q', i)} > 1 OR {_sz('p', i)} > 1)"
+        for i in range(len(DELIMITERS))
+    )
     out = out.withColumns(
         {
-            "_chosen": chosen_idx,
-            "split_status": (
-                F.when(is_attachment, STATUS_ATTACHMENT)
-                .when(chosen_idx >= 0, STATUS_OK)
-                .when(any_multi, STATUS_MISMATCHED)
-                .otherwise(STATUS_SINGLE)
+            "_chosen": F.expr(chosen_sql),
+            "split_status": F.expr(
+                f"CASE WHEN {att_sql} THEN '{STATUS_ATTACHMENT}'"
+                f" WHEN ({chosen_sql}) >= 0 THEN '{STATUS_OK}'"
+                f" WHEN {any_multi_sql} THEN '{STATUS_MISMATCHED}'"
+                f" ELSE '{STATUS_SINGLE}' END"
             ),
         }
     )
 
-    # projection 3: the chosen arrays + n_items
-    def pick(prefix: str) -> Column:
-        c = F.when(F.lit(False), F.array())
-        for i in range(len(DELIMITERS)):
-            c = c.when(F.col("_chosen") == i, F.col(f"_{prefix}{i}"))
-        return c.otherwise(F.array())
+    def pick_sql(prefix: str) -> str:
+        return (
+            "CASE _chosen "
+            + " ".join(
+                f"WHEN {i} THEN _{prefix}{i}" for i in range(len(DELIMITERS))
+            )
+            + " ELSE array() END"
+        )
 
-    spec_arr = pick("s")
     out = out.withColumns(
         {
-            "_spec_arr": spec_arr,
-            "_qty_arr": pick("q"),
-            "_price_arr": pick("p"),
-            "_name_arr": pick("n"),
-            "_brand_arr": pick("b"),
-            "n_items": F.when(
-                F.col("split_status") == STATUS_OK, F.size(spec_arr)
-            ).otherwise(F.lit(1)),
+            "_spec_arr": F.expr(pick_sql("s")),
+            "_qty_arr": F.expr(pick_sql("q")),
+            "_price_arr": F.expr(pick_sql("p")),
+            "_name_arr": F.expr(pick_sql("n")),
+            "_brand_arr": F.expr(pick_sql("b")),
+            "n_items": F.expr(
+                f"CASE WHEN split_status = '{STATUS_OK}'"
+                f" THEN size({pick_sql('s')}) ELSE 1 END"
+            ),
         }
     )
     return out.drop(
@@ -145,15 +156,10 @@ def split_rows(
     ).drop("_x")
 
     def elem(arr: str, fallback: str) -> Column:
-        return F.when(
-            F.col("split_status") != STATUS_OK, F.col(fallback)
-        ).otherwise(
-            F.element_at(
-                F.col(arr),
-                F.when(F.size(F.col(arr)) == 1, F.lit(1)).otherwise(
-                    F.col("item_pos") + 1
-                ),
-            )
+        return F.expr(
+            f"CASE WHEN split_status != '{STATUS_OK}' THEN `{fallback}`"
+            f" ELSE element_at({arr}, CASE WHEN size({arr}) = 1 THEN 1"
+            f" ELSE item_pos + 1 END) END"
         )
 
     return exploded.withColumns(

@@ -454,21 +454,26 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("th", _h48(F.col("token")))
     )
+    # expression-construction discipline (CLAUDE.md r4): built with the
+    # Column API these 32 aggregates plus the 32-term assembly cost ~0.8 s
+    # of py4j chatter per fresh query build; as parser-side expr strings the
+    # identical plan builds in a handful of calls
     wide = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")
-                ).otherwise(-F.col("tf"))
-            ).alias(f"_s{b}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(th, {b}) & 1) = 1"
+                f" THEN tf ELSE -tf END) AS _s{b}"
+            )
             for b in range(_N_SIMHASH_BITS)
         ]
     )
-    simhash = None
-    for b in range(_N_SIMHASH_BITS):
-        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return wide.select("doc_id", simhash.cast("long").alias("simhash"))
+    assemble = " + ".join(
+        f"(CASE WHEN _s{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(_N_SIMHASH_BITS)
+    )
+    return wide.select(
+        "doc_id", F.expr(f"CAST(({assemble}) AS BIGINT)").alias("simhash")
+    )
 
 
 @register("dd5_simhash", f"SELECT doc_id, simhash FROM ({_SIMHASH_DUCK})")
