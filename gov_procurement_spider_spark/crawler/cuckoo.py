@@ -48,10 +48,15 @@ def _next_pow2(n: int) -> int:
 class CuckooFilter:
     """4-way, 16-bit-fingerprint cuckoo filter over int64 URL hashes."""
 
-    def __init__(self, n_expected: int):
+    @staticmethod
+    def m_for(n_expected: int) -> int:
+        """Bucket count for ``n_expected`` keys at the classic 95% safe
+        load factor — usable without allocating a table (growth sizing)."""
         n_expected = max(int(n_expected), 1)
-        # 95% is the classic safe load factor for 4-slot buckets
-        self.m = max(8, _next_pow2(int(np.ceil(n_expected / (_BUCKET_SLOTS * 0.95)))))
+        return max(8, _next_pow2(int(np.ceil(n_expected / (_BUCKET_SLOTS * 0.95)))))
+
+    def __init__(self, n_expected: int):
+        self.m = self.m_for(n_expected)
         self.table = np.zeros((self.m, _BUCKET_SLOTS), dtype=np.uint16)
         self.fill = np.zeros(self.m, dtype=np.uint8)
 

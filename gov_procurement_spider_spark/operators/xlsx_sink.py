@@ -24,9 +24,17 @@ from __future__ import annotations
 
 import csv
 import glob
+import math
 import os
+import re
 import zipfile
 from xml.sax.saxutils import escape
+
+# XML 1.0 forbids C0 control characters other than tab/newline/CR; scraped
+# text DOES contain them (form feeds, NULs), and an unreadable workbook
+# after convert_csv_dir deleted its source would be data loss — replace
+# with U+FFFD rather than corrupt the sheet
+_XML_ILLEGAL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 # the SpreadsheetML worksheet hard limit (2^20 rows, header included)
 XLSX_MAX_ROWS = 1_048_576
@@ -71,10 +79,12 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):  # bool is an int subclass — dispatch first
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
-        if isinstance(value, float) and value != value:  # NaN → blank cell
+        # NaN/±inf → blank: xsd:double has no 'nan'/'inf' spelling repr
+        # would emit, and this repo's own psnr() returns inf for lossless
+        if isinstance(value, float) and not math.isfinite(value):
             return ""
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    text = escape(str(value))
+    text = escape(_XML_ILLEGAL.sub("�", str(value)))
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 

@@ -364,16 +364,22 @@ _CUCKOO_GROW_LOAD = 0.9
 
 def _grow_cuckoo(
     spark: SparkSession, ckpt: str, upto_epoch: int, old: CuckooFilter,
-    n_total: int | None = None,
+    n_total: int,
 ) -> CuckooFilter:
-    """Rebuild the cuckoo seen-filter into a table with 2× the buckets from
-    the EXACT seen view as of ``upto_epoch`` (which must already include the
-    epoch's seen_new append). A cuckoo table cannot be grown from its own
+    """Rebuild the cuckoo seen-filter into a larger table from the EXACT
+    seen view as of ``upto_epoch`` (which must already include the epoch's
+    seen_new append). A cuckoo table cannot be grown from its own
     fingerprints — doubling m adds an index bit that only the original
     64-bit key carries — so growth is one distributed pass over the seen
-    table; amortized O(1) per admitted URL since capacity doubles, and still
-    cheaper than Bloom's every-expiry rebuild."""
-    new = CuckooFilter.empty(2 * old.m)
+    table, with its partition count scaled by ``n_total`` (the caller's
+    exact key count — the single largest build in the system must not run
+    on the constant-8 floor). The new table is at least 2× the old (so
+    growth amortizes to O(1) per admitted URL) AND large enough that
+    ``n_total`` keys sit at ≤~72% load — a single doubling after a huge
+    admission batch could land back above the safe load factor and re-raise
+    the very add_many RuntimeError growth exists to prevent (round-4 review
+    finding)."""
+    new = CuckooFilter.empty(max(2 * old.m, CuckooFilter.m_for(n_total)))
     remaining = _seen_view(spark, ckpt, upto_epoch).select(
         url_hash64("url").alias("url_hash")
     )
@@ -574,6 +580,7 @@ def run_epoch(
                 os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz")
             )
             flt.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+        filter_load = _seen_filter_load(flt)  # inside the timed phase
         _mark("tick_commit")
         ck.commit_epoch(
             ckpt,
@@ -582,7 +589,7 @@ def run_epoch(
                 "processed_epoch": epoch,
                 "urls_fetched": 0,
                 "urls_admitted": 0,
-                "seen_filter_load": _seen_filter_load(flt),
+                "seen_filter_load": filter_load,
                 "phase_ms": phases,
             },
         )
@@ -653,6 +660,7 @@ def run_epoch(
                 os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz")
             )
             flt.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+        filter_load = _seen_filter_load(flt)  # inside the timed phase
         _mark("bloom")
         ck.commit_epoch(
             ckpt,
@@ -662,7 +670,7 @@ def run_epoch(
                 "urls_fetched": n_selected,
                 "urls_admitted": 0,
                 "crawl_log_from_frontier": log_is_frontier,
-                "seen_filter_load": _seen_filter_load(flt),
+                "seen_filter_load": filter_load,
                 "phase_ms": phases,
             },
         )
@@ -749,15 +757,16 @@ def run_epoch(
                 isinstance(bf, CuckooFilter)
                 and len(bf) + n_admitted > _CUCKOO_GROW_LOAD * bf.capacity
             ):
-                # the batch would cross the safe load factor: rebuild at 2×
-                # from the exact seen view (seen_new for this epoch is
-                # already written, so the rebuild covers the batch too)
-                bf = _grow_cuckoo(spark, ckpt, out_epoch, bf)
+                # the batch would cross the safe load factor: rebuild
+                # larger from the exact seen view (seen_new for this epoch
+                # is already written, so the rebuild covers the batch too)
+                bf = _grow_cuckoo(spark, ckpt, out_epoch, bf, len(bf) + n_admitted)
             else:
                 _filter_add_from_df(
                     bf, admitted.select("url_hash"), n_rows=n_admitted
                 )
         bf.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+    filter_load = _seen_filter_load(bf)  # inside the timed phase
     _mark("bloom")
 
     ck.commit_epoch(
@@ -768,7 +777,7 @@ def run_epoch(
             "urls_fetched": n_selected,
             "urls_admitted": n_admitted,
             "crawl_log_from_frontier": log_is_frontier,
-            "seen_filter_load": _seen_filter_load(bf),
+            "seen_filter_load": filter_load,
             "phase_ms": phases,
         },
     )

@@ -5,6 +5,7 @@ value hash; tests/test_oracle_parity.py replays the same comparison."""
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,8 +33,18 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        k: (v[1]() if callable(v[1]) else v[1])
-        for k, v in _REGISTRY.items()
-        if v[1] is not None
-    }
+    out: dict[str, str] = {}
+    for k, (_, oracle) in _REGISTRY.items():
+        if oracle is None:
+            continue
+        if callable(oracle):
+            try:
+                oracle = oracle()
+            except OSError as e:
+                # a lazy oracle that can't reach its data (testdata absent
+                # in this environment) degrades ITS OWN row to rows-only —
+                # it must never take the other ~46 oracles down with it
+                warnings.warn(f"oracle for {k!r} unavailable ({e}); skipped")
+                continue
+        out[k] = oracle
+    return out

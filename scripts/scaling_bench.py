@@ -107,20 +107,28 @@ def run_once(
     #    32/32 for every config, so the ratio measures the ENGINE.
     spinners = []
     if equal_occupancy:
-        # work from the process's ALLOWED cpu set, not 0..n-1: under an
-        # external taskset/cgroup confinement range(cores) could raise
-        # OSError or pin us onto the very cores the spinners occupy
-        # (ADVICE r3; codec_ceiling.py already does this)
+        # Confine THIS process (and the Spark JVM + python workers it
+        # spawns) to `cores` CPUs from its ALLOWED set — not range(cores):
+        # under an external taskset/cgroup confinement range(cores) could
+        # raise OSError or pin us onto the very cores the spinners occupy
+        # (ADVICE r3; codec_ceiling.py already does this).
         allowed = sorted(os.sched_getaffinity(0))
+        mine = set(allowed[:cores])
         if cores < len(allowed):
-            # confine THIS process (and the Spark JVM + python workers it
-            # spawns) to the first `cores` allowed CPUs before pinning
-            # spinners to the rest: orchestrate() does this via taskset,
-            # but a standalone `--once --equal-occupancy` run would
-            # otherwise contend with its own spinners instead of holding
-            # occupancy constant
-            os.sched_setaffinity(0, allowed[:cores])
-            spinners = _spawn_spinners(allowed[cores:])
+            os.sched_setaffinity(0, mine)
+        # Spinners target every OTHER core of the BOX (occupancy is a
+        # box-wide property) — derived from cpu_count, not from the
+        # inherited mask: when orchestrate() has already taskset-confined
+        # this subprocess to exactly `cores` CPUs, the inherited mask
+        # contains nothing BUT `mine`, and a mask-derived spinner list
+        # would be empty — silently turning equal-occupancy off while the
+        # report still claimed it (round-4 review finding). taskset can
+        # expand a child's affinity beyond the inherited mask; CPUs outside
+        # the cpuset make the spinner exit, which the report's math
+        # tolerates (occupancy floors at the cpuset size).
+        spin_targets = [c for c in range(os.cpu_count() or 32) if c not in mine]
+        if spin_targets:
+            spinners = _spawn_spinners(spin_targets)
     walls: list[float] = []
     cold_wall = None
     try:

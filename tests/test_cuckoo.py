@@ -179,3 +179,18 @@ def test_delete_many_chunked_equivalent():
         assert b.delete_many(victims[i : i + 500]).all()
     assert len(a) == len(b) == 4_000
     assert (np.sort(a.table, axis=1) == np.sort(b.table, axis=1)).all()
+
+
+def test_m_for_matches_init_sizing():
+    for n in (1, 7, 1024, 50_000, 1_000_000):
+        assert CuckooFilter.m_for(n) == CuckooFilter(n).m
+
+
+def test_bloom_fill_fraction_sampled_estimator():
+    bf = BloomFilter(50_000)
+    keys = _keys(50_000, seed=9)
+    bf.add_many(keys)
+    exact = bf.fill_fraction()  # bitmap < 4 MB → exact
+    sampled = bf.fill_fraction(max_bytes=256)  # force the strided path
+    assert 0.05 < exact < 0.95
+    assert abs(sampled - exact) < 0.05  # unbiased estimator, tiny sample

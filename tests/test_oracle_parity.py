@@ -147,6 +147,28 @@ def test_registry_within_driver_cap():
     assert "ml4_ivf_topk" in ORACLES and "ml2_ann_lsh_buckets" not in QUERIES
 
 
+def test_lazy_oracle_failure_degrades_only_its_row():
+    """A lazy oracle whose data is unreachable must degrade its own row to
+    rows-only, never take the other oracles down (round-4 review finding)."""
+    import warnings
+
+    from gov_procurement_spider_spark.plans import registry as reg
+
+    def boom() -> str:
+        raise FileNotFoundError("testdata gone")
+
+    reg._REGISTRY["_zz_test_lazy"] = (lambda s, d: None, boom)
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            o = reg.oracle_sql()
+        assert "_zz_test_lazy" not in o
+        assert "a1_pricing_summary" in o and "ml4_ivf_topk" in o
+        assert any("_zz_test_lazy" in str(x.message) for x in rec)
+    finally:
+        del reg._REGISTRY["_zz_test_lazy"]
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0

@@ -225,9 +225,14 @@ def test_grow_cuckoo_rebuilds_at_2x(spark):
 
     ckpt = _fresh_cuckoo_ckpt(spark, 60)
     old = _load_seen_filter(os.path.join(ck.epoch_dir(ckpt, 0), "bloom.npz"))
-    new = _grow_cuckoo(spark, ckpt, 0, old)
+    new = _grow_cuckoo(spark, ckpt, 0, old, 60)
     assert new.m == 2 * old.m
     assert len(new) == 60
+    # a batch far beyond one doubling sizes past 2× so the rebuilt filter
+    # never lands back above the safe load (round-4 review finding)
+    big = _grow_cuckoo(spark, ckpt, 0, old, 64 * old.m * 4)
+    assert big.m > 2 * old.m
+    assert CuckooFilter.m_for(64 * old.m * 4) == big.m
     hashes = np.array(
         [
             r.url_hash

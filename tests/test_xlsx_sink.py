@@ -161,3 +161,22 @@ def test_write_df_xlsx_streams_spark_frame(spark, tmp_path):
     assert [c[2] for c in rows[0]] == ["id", "name"]
     got = {(r[0][2], r[1][2]) for r in rows[1:]}
     assert got == {(str(i), f"u{i}") for i in range(200)}
+
+
+def test_control_chars_and_infinities_never_corrupt_the_sheet(tmp_path):
+    """Round-4 review findings: scraped text with XML-illegal control chars
+    must not produce an unreadable workbook (convert_csv_dir deletes the
+    source!), and non-finite floats have no xsd:double spelling — both are
+    sanitized, and the result still parses."""
+    out = str(tmp_path / "hostile.xlsx")
+    write_xlsx(
+        out,
+        ["txt", "x"],
+        [("page\x0cbreak\x00null", float("inf")), ("ok\tkeep\nlines", float("-inf"))],
+    )
+    rows = _read_back(out)  # _read_back ET-parses every part — the real gate
+    r1 = {c[0]: c[2] for c in rows[1]}
+    assert r1["A2"] == "page�break�null"
+    assert "B2" not in r1  # inf → blank cell, like NaN
+    r2 = {c[0]: c[2] for c in rows[2]}
+    assert r2["A3"] == "ok\tkeep\nlines"  # XML-legal whitespace preserved
