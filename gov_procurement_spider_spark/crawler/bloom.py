@@ -76,8 +76,10 @@ class BloomFilter:
         the per-epoch gauge never scans more than ``max_bytes`` (4 MB) of
         a 10^10-bit (1.25 GB) bitmap — a full driver-side popcount per
         commit would be seconds of serial overhead (round-4 review
-        finding). Exact whenever the bitmap fits the budget."""
-        stride = max(1, len(self.bits) // max_bytes)
+        finding). Exact whenever the bitmap fits the budget. Stride is
+        CEILING division — floor let a bitmap just under 2·max_bytes scan
+        fully, breaking the stated bound (round-4 ADVICE)."""
+        stride = max(1, -(-len(self.bits) // max_bytes))
         sample = self.bits[::stride]
         total = int(_POPCNT[sample].sum(dtype=np.int64))
         return total / float(len(sample) * 8)

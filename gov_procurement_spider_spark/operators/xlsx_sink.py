@@ -27,6 +27,7 @@ import glob
 import math
 import os
 import re
+import warnings
 import zipfile
 from xml.sax.saxutils import escape
 
@@ -138,19 +139,47 @@ def write_df_xlsx(df, path: str) -> int:
     return write_xlsx(path, list(df.columns), (tuple(r) for r in df.toLocalIterator()))
 
 
+def _coerce_cell(v: str):
+    """csv.reader yields str for everything; the reference converter
+    (pandas read_csv → to_excel) emits numeric columns as NUMBER cells.
+    Parse int-then-float so '42' / '3.14' round-trip typed; anything else
+    (incl. 'N/A', dates, leading-'+' phone-ish strings) stays text."""
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        f = float(v)
+    except ValueError:
+        return v
+    # 'nan'/'inf' literals parse as float but pandas would keep them textual
+    # unless NA-listed; a blank cell would silently lose the source token
+    return f if math.isfinite(f) else v
+
+
 def convert_csv_dir(target_dir: str) -> int:
     """The reference's S8 semantics (converter.py:31-47): every ``*.csv``
     in ``target_dir`` (utf-8-sig, the CSV sink's own encoding) becomes a
     sibling ``.xlsx``; the CSV is removed only after its conversion
-    succeeded. Returns the number of files converted."""
+    succeeded, and — like the reference's per-file loop — one failing file
+    is reported and skipped (its source kept) while the rest convert.
+    Returns the number of files converted."""
     done = 0
     for csv_path in sorted(glob.glob(os.path.join(target_dir, "*.csv"))):
-        with open(csv_path, newline="", encoding="utf-8-sig") as f:
-            reader = csv.reader(f)
-            header = next(reader, None)
-            if header is None:
-                continue  # headerless/empty file: leave it alone
-            write_xlsx(os.path.splitext(csv_path)[0] + ".xlsx", header, reader)
+        try:
+            with open(csv_path, newline="", encoding="utf-8-sig") as f:
+                reader = csv.reader(f)
+                header = next(reader, None)
+                if header is None:
+                    continue  # headerless/empty file: leave it alone
+                write_xlsx(
+                    os.path.splitext(csv_path)[0] + ".xlsx",
+                    header,
+                    ([_coerce_cell(v) for v in row] for row in reader),
+                )
+        except Exception as e:  # noqa: BLE001 — per-file isolation
+            warnings.warn(f"convert_csv_dir: {csv_path} failed ({e}); kept")
+            continue
         os.remove(csv_path)
         done += 1
     return done

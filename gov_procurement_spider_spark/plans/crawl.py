@@ -362,6 +362,14 @@ def _filter_add_from_df(flt, hashes_df: DataFrame, n_rows: int | None = None) ->
 _CUCKOO_GROW_LOAD = 0.9
 
 
+def _grown_m(old_m: int, n_total: int) -> int:
+    """Bucket count for a rebuilt seen-filter: ≥2× the old table (amortized
+    O(1) growth) and sized so ``n_total`` keys land at ≤0.72·0.95 ≈ 0.68
+    load — always below the 0.9 grow trigger, so a rebuild can never be
+    immediately re-triggered by its own admission batch."""
+    return max(2 * old_m, CuckooFilter.m_for(int(n_total / 0.72) + 1))
+
+
 def _grow_cuckoo(
     spark: SparkSession, ckpt: str, upto_epoch: int, old: CuckooFilter,
     n_total: int,
@@ -374,12 +382,13 @@ def _grow_cuckoo(
     table, with its partition count scaled by ``n_total`` (the caller's
     exact key count — the single largest build in the system must not run
     on the constant-8 floor). The new table is at least 2× the old (so
-    growth amortizes to O(1) per admitted URL) AND large enough that
-    ``n_total`` keys sit at ≤~72% load — a single doubling after a huge
-    admission batch could land back above the safe load factor and re-raise
-    the very add_many RuntimeError growth exists to prevent (round-4 review
-    finding)."""
-    new = CuckooFilter.empty(max(2 * old.m, CuckooFilter.m_for(n_total)))
+    growth amortizes to O(1) per admitted URL) AND sized with explicit
+    headroom: ``m_for(n_total)`` alone only bounds load at ≤95% (next_pow2
+    worst case), which is ABOVE the 0.9 grow trigger — a rebuild landing
+    there would force another full rebuild on the very next admission
+    (round-4 ADVICE). Feeding ``n_total / 0.72`` through m_for caps the
+    rebuilt load at 0.72·0.95 ≈ 0.68, comfortably below the trigger."""
+    new = CuckooFilter.empty(_grown_m(old.m, n_total))
     remaining = _seen_view(spark, ckpt, upto_epoch).select(
         url_hash64("url").alias("url_hash")
     )

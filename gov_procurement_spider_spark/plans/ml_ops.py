@@ -534,23 +534,38 @@ def ivf_topk(
     )
 
 
-# the external driver always compares at this sf (TESTDATA.md); the lazy
-# oracle trains its centroid literals from the same parquet the driver's
-# DuckDB views read, via the trainer mirror above
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"
+def _driver_sf_dir() -> str:
+    # the external driver compares at sf0.01 (TESTDATA.md) but honors
+    # SPARK_GRAFT_SF_DIR when set (round-4 ADVICE): the lazy oracle must
+    # train its centroid literals from the SAME parquet the driver's DuckDB
+    # views read, whatever scale that is
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 _ML4_ORACLE_CACHE: dict[str, str] = {}
 
 
 def _ml4_oracle() -> str:
-    # memoized: every oracle_sql() call would otherwise re-read the parquet
-    # and re-run 5 Lloyd iterations (cheap, but callers may poll)
-    sql = _ML4_ORACLE_CACHE.get(_DRIVER_SF_DIR)
+    # memoized per sf dir: every oracle_sql() call would otherwise re-read
+    # the parquet and re-run 5 Lloyd iterations (cheap, but callers may poll)
+    sf_dir = _driver_sf_dir()
+    sql = _ML4_ORACLE_CACHE.get(sf_dir)
     if sql is None:
-        sql = ivf_oracle_sql(ivf_train_from_parquet(_DRIVER_SF_DIR))
-        _ML4_ORACLE_CACHE[_DRIVER_SF_DIR] = sql
+        sql = ivf_oracle_sql(ivf_train_from_parquet(sf_dir))
+        _ML4_ORACLE_CACHE[sf_dir] = sql
     return sql
+
+
+def _parquet_num_rows(sf_dir: str) -> int:
+    """Row count straight from parquet footer metadata — no scan, no Spark
+    job (round-4 VERDICT item 4: `e.count()` per training call was a full
+    count job at 100 TB; the footer answer is identical for these immutable
+    test tables and what DuckDB's oracle side implicitly uses)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
 
 
 @register("ml4_ivf_topk", _ml4_oracle)
@@ -559,9 +574,12 @@ def ml4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded sample, assign every vector to its cell (one Arrow matmul),
     probe each query's nprobe nearest cells, cosine-rank the members found
     there. The oracle is formatted lazily so the trained centroids enter
-    both engines as identical 6-dp literals."""
+    both engines as identical 6-dp literals. The sampling modulus comes
+    from parquet footer metadata, keeping the train path free of count
+    jobs."""
     e = _load_embeddings(spark, sf_dir)
-    return ivf_topk(e, ivf_train(e))
+    mod = _ivf_sample_mod(_parquet_num_rows(sf_dir), _IVF_CELLS)
+    return ivf_topk(e, ivf_train(e, sample_mod=mod))
 
 
 def ivf_oracle_sql(

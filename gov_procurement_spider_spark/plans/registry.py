@@ -40,10 +40,11 @@ def oracle_sql() -> dict[str, str]:
         if callable(oracle):
             try:
                 oracle = oracle()
-            except OSError as e:
-                # a lazy oracle that can't reach its data (testdata absent
-                # in this environment) degrades ITS OWN row to rows-only —
-                # it must never take the other ~46 oracles down with it
+            except Exception as e:  # noqa: BLE001 — degrade-only-its-own-row
+                # a lazy oracle that fails for ANY reason (testdata absent,
+                # pyarrow schema drift, ImportError, …) degrades ITS OWN row
+                # to rows-only — it must never take the other ~46 oracles
+                # down with it (round-4 ADVICE broadened this from OSError)
                 warnings.warn(f"oracle for {k!r} unavailable ({e}); skipped")
                 continue
         out[k] = oracle

@@ -194,3 +194,35 @@ def test_bloom_fill_fraction_sampled_estimator():
     sampled = bf.fill_fraction(max_bytes=256)  # force the strided path
     assert 0.05 < exact < 0.95
     assert abs(sampled - exact) < 0.05  # unbiased estimator, tiny sample
+
+
+def test_bloom_fill_fraction_sample_never_exceeds_budget():
+    """Round-4 ADVICE: floor-division stride let a bitmap just under
+    2*max_bytes scan fully; ceiling division honors the documented bound."""
+    bf = BloomFilter(1000)
+    # force adversarial bitmap sizes around the budget boundary
+    for nbytes, budget in ((1023, 512), (1024, 512), (1025, 512), (8 << 20, 1 << 22)):
+        bf.bits = np.zeros(nbytes, dtype=np.uint8)
+        stride = max(1, -(-len(bf.bits) // budget))
+        assert len(bf.bits[::stride]) <= budget, (nbytes, budget)
+        bf.fill_fraction(max_bytes=budget)  # and the call itself works
+
+
+def test_grown_cuckoo_always_lands_below_grow_trigger():
+    """Round-4 ADVICE: m_for(n) alone only bounds load at <=95% (above the
+    0.9 grow trigger) when n/(slots*0.95) is already a power of two; the
+    growth sizing must leave explicit headroom so a rebuild can never be
+    re-triggered by its own batch."""
+    from gov_procurement_spider_spark.plans.crawl import _CUCKOO_GROW_LOAD, _grown_m
+    from gov_procurement_spider_spark.crawler.cuckoo import _BUCKET_SLOTS
+
+    # adversarial n: exact multiples of slots*0.95*2^k (the next_pow2
+    # no-op case that previously landed at 95%), plus off-by-ones
+    for k in range(3, 22):
+        base = int(_BUCKET_SLOTS * 0.95 * (1 << k))
+        for n in (base - 1, base, base + 1):
+            m = _grown_m(8, n)
+            load = n / (m * _BUCKET_SLOTS)
+            assert load < _CUCKOO_GROW_LOAD - 0.05, (n, m, load)
+    # and the >=2x amortization floor holds
+    assert _grown_m(1 << 20, 10) == 1 << 21

@@ -173,3 +173,26 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_lazy_oracle_any_exception_degrades_only_its_row():
+    """Round-4 ADVICE broadened the handler from OSError to Exception: a
+    lazy oracle failing with ArrowInvalid/KeyError/ImportError must also
+    degrade only its own row."""
+    import warnings
+
+    from gov_procurement_spider_spark.plans import registry as reg
+
+    def boom() -> str:
+        raise KeyError("schema drift")
+
+    reg._REGISTRY["_zz_test_lazy2"] = (lambda s, d: None, boom)
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            o = reg.oracle_sql()
+        assert "_zz_test_lazy2" not in o
+        assert "a1_pricing_summary" in o and "ml4_ivf_topk" in o
+        assert any("_zz_test_lazy2" in str(x.message) for x in rec)
+    finally:
+        del reg._REGISTRY["_zz_test_lazy2"]

@@ -149,7 +149,10 @@ def test_s7_csv_sink_chains_into_s8(spark, tmp_path):
     rows = _read_back(xlsx[0])
     assert [c[2] for c in rows[0]] == ["名称", "单价"]  # header BOM-free
     body = {(r[0][2], r[1][2]) for r in rows[1:]}
-    assert body == {("项目A", "1200.50"), ("项目B", "N/A")}
+    # '1200.50' becomes a NUMBER cell (1200.5) — the reference converter's
+    # pandas read_csv→to_excel does the same dtype inference (round-4 ADVICE);
+    # 'N/A' fills stay textual
+    assert body == {("项目A", "1200.5"), ("项目B", "N/A")}
 
 
 def test_write_df_xlsx_streams_spark_frame(spark, tmp_path):
@@ -180,3 +183,35 @@ def test_control_chars_and_infinities_never_corrupt_the_sheet(tmp_path):
     assert "B2" not in r1  # inf → blank cell, like NaN
     r2 = {c[0]: c[2] for c in rows[2]}
     assert r2["A3"] == "ok\tkeep\nlines"  # XML-legal whitespace preserved
+
+
+def test_convert_csv_dir_numeric_cells_and_per_file_isolation(tmp_path):
+    """Round-4 ADVICE: (a) numeric-looking CSV values become NUMBER cells
+    (no t= attribute), matching the reference's pandas dtype inference;
+    (b) one failing file is skipped with its source kept while the rest
+    convert."""
+    import warnings
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    (tmp_path / "good.csv").write_text(
+        "name,qty,price,note\nwidget,3,19.99,N/A\n", encoding="utf-8-sig"
+    )
+    # invalid utf-8 makes the csv read raise mid-directory
+    (tmp_path / "bad.csv").write_bytes(b"\xff\xfe\x00broken")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert convert_csv_dir(str(tmp_path)) == 1
+    assert any("bad.csv" in str(x.message) for x in rec)
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["bad.csv", "good.xlsx"]  # failed source kept
+
+    with zipfile.ZipFile(tmp_path / "good.xlsx") as z:
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    data_cells = root.findall(f"{ns}sheetData/{ns}row")[1].findall(f"{ns}c")
+    kinds = [c.get("t") for c in data_cells]
+    # str, int, float, str — ints/floats are typed NUMBER cells (t=None)
+    assert kinds == ["inlineStr", None, None, "inlineStr"]
+    assert data_cells[1].find(f"{ns}v").text == "3"
+    assert data_cells[2].find(f"{ns}v").text == "19.99"
