@@ -227,3 +227,44 @@ def test_jpeg_vendored_codec_details():
     sof2 = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
         jc.decode_jpeg(sof2)
+
+
+# ------------------------------------------------------- property coverage
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, seed):
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    from gov_procurement_spider_spark.functions import png_codec as pc
+
+    assert np.array_equal(pc.decode_png(pc.encode_png(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(v=st.integers(-32767, 32767))
+def test_jpeg_magnitude_extend_inverse(v):
+    from gov_procurement_spider_spark.functions.jpeg_codec import _extend, _magnitude
+
+    size, amp = _magnitude(v)
+    assert _extend(amp, size) == v
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2**12 - 1), st.integers(1, 12)), max_size=64))
+def test_jpeg_bitstream_roundtrip_with_stuffing(chunks):
+    from gov_procurement_spider_spark.functions.jpeg_codec import _BitReader, _BitWriter
+
+    bw = _BitWriter()
+    for code, length in chunks:
+        bw.write(code & ((1 << length) - 1), length)
+    bw.flush()
+    br = _BitReader(bytes(bw.out))
+    for code, length in chunks:
+        assert br.read_bits(length) == code & ((1 << length) - 1)
