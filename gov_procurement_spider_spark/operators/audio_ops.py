@@ -4,10 +4,12 @@ Audio travels as an opaque `binary` column with typed metadata
 (sample_rate/fmt/n_samples), mirroring the image design
 (operators/images_ops.py): decode / feature-extract / resample run as
 Arrow-batched `mapInPandas`, the only layer where Python touches bytes, and
-every operator is partition-local — bytes never shuffle. The 'pcm' format
-is real s16le math (functions/audio.py); compressed formats are stubbed
-exactly like video frame-sampling (no codec in this container), with the
-Spark-side contract — schema, batch shape, UDF signature — fully real.
+every operator is partition-local — bytes never shuffle. Three real
+formats via functions/audio.decode_audio: 'pcm' (s16le, exact), 'mulaw'
+(G.711, vendored) and 'adpcm' (IMA/DVI, vendored); perceptual codecs the
+container genuinely lacks (mp3/flac/ogg) raise NotImplementedError by
+name, with the Spark-side contract — schema, batch shape, UDF signature —
+identical across all formats.
 """
 
 from __future__ import annotations
@@ -26,15 +28,6 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
-def _require_pcm(fmt: str) -> None:
-    if fmt != "pcm":
-        raise NotImplementedError(
-            f"decoding '{fmt}' requires an audio codec library not present in"
-            " this container; the pcm path demonstrates the identical"
-            " mapInPandas plumbing"
-        )
-
-
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """Per-clip features (duration, RMS, peak, zero-crossing rate) computed
     vectorized per batch row — the audio analogue of image feature
@@ -44,8 +37,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                _require_pcm(r.fmt)
-                s = audio.decode_pcm(bytes(r.bytes)).astype(np.float64)
+                s = audio.decode_audio(bytes(r.bytes), r.fmt).astype(np.float64)
                 n = len(s)
                 zc = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if n > 1 else 0.0
                 rows.append(
@@ -83,8 +75,7 @@ def resample(df: DataFrame, target_sr: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                _require_pcm(r.fmt)
-                s = audio.decode_pcm(bytes(r.bytes))
+                s = audio.decode_audio(bytes(r.bytes), r.fmt)
                 n_out = max(1, int(round(len(s) * target_sr / float(r.sample_rate))))
                 idx = (np.arange(n_out, dtype=np.int64) * len(s)) // n_out
                 rows.append(

@@ -3,10 +3,10 @@
 Images travel as opaque `binary` columns with typed metadata
 (w/h/fmt/caption/phash — the input_hint schema); these operators run decode /
 validate / resize / feature-extract as Arrow-batched `mapInPandas`, the only
-layer where Python touches bytes. The codec is the deterministic fake from
-functions/images.py (no PIL in this container — a real deployment swaps
-`decode_image` for PIL/libjpeg and NOTHING else changes: schema, batching,
-partitioning, and UDF signatures are identical).
+layer where Python touches bytes. `decode_image` dispatches between the
+deterministic fake container and the real codecs (PIL when present, else
+the vendored png_codec/jpeg_codec); video payloads are MJPEG-AVI decoded
+by the vendored RIFF walker (functions/avi_codec.py).
 
 Scale notes: every operator here is partition-local (narrow) — bytes never
 shuffle; outputs carry only small fixed-width features unless the resized
@@ -95,12 +95,42 @@ def resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling placeholder: the container has no video codec, so
-    decode is explicitly stubbed (NotImplementedError), but the Spark-side
-    contract — binary column in, exploded frame rows out — is the real one."""
-    raise NotImplementedError(
-        "video decode requires a codec library not present in this container;"
-        " the image path (extract_features/resize) demonstrates the identical"
-        " mapInPandas plumbing"
-    )
+FRAME_SCHEMA = "video_id string, frame_idx int, w int, h int, fmt string, bytes binary"
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling over MJPEG-AVI payloads — the real operator the
+    round-4 stub promised, now executable because the container codec
+    (functions/avi_codec.py, RIFF walk) and the frame codec
+    (functions/jpeg_codec.py, baseline JPEG) are both vendored.
+
+    Input columns: (video_id, bytes); output: one row per kept frame with
+    the frame's raw JPEG bytes, directly consumable by the image operators
+    (decode_image dispatches on the JPEG signature). Partition-local 1→N
+    expansion; skipped frames cost only the chunk walk, never a decode.
+    Inter-frame codecs (H.264 &c.) raise NotImplementedError by fourcc —
+    that part of the round-2/3 stub boundary is still honest."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import avi_codec
+
+        cols = ["video_id", "frame_idx", "w", "h", "fmt", "bytes"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.bytes)
+                meta = avi_codec.probe_avi(data)
+                for idx, chunk in enumerate(avi_codec.iter_frame_chunks(data)):
+                    if idx % every_n == 0:
+                        rows.append(
+                            dict(
+                                video_id=r.video_id, frame_idx=idx,
+                                w=int(meta["w"]), h=int(meta["h"]),
+                                fmt="jpeg", bytes=chunk,
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("video_id", "bytes").mapInPandas(op, schema=FRAME_SCHEMA)

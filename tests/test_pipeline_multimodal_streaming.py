@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from gov_procurement_spider_spark.functions import images
 from gov_procurement_spider_spark.operators.images_ops import (
     extract_features,
-    frame_sample_stub,
+    frame_sample,
     resize,
 )
 from gov_procurement_spider_spark.plans.crawl import run_crawl
@@ -115,9 +115,14 @@ def test_image_resize_roundtrip(fetched):
         assert px.dtype == np.uint8
 
 
-def test_frame_sample_is_stubbed(fetched):
-    with pytest.raises(NotImplementedError):
-        frame_sample_stub(fetched)
+def test_frame_sample_rejects_non_video_payloads(fetched):
+    """frame_sample is real now (MJPEG-AVI via the vendored RIFF walker +
+    JPEG codec — see tests/test_video_audio_codecs.py for the positive
+    path); feeding it the crawl's image payloads fails cleanly, not
+    silently."""
+    vids = fetched.selectExpr("image_id AS video_id", "bytes")
+    with pytest.raises(Exception, match="RIFF|AVI"):
+        frame_sample(vids).collect()
 
 
 def test_streaming_windowed_counts(spark, sf_small):
