@@ -239,6 +239,12 @@ def init_state(
     seen-filter seeded with the seed URLs. All generated as Spark jobs."""
     frontier = _seed_frontier(spark, spec)
     ck.write_table(frontier.select(*FRONTIER_COLS), ckpt, 0, "frontier")
+    ck.write_table(
+        frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n_pending")),
+        ckpt,
+        0,
+        "host_counts",
+    )
 
     seen = frontier.select(
         "url", url_hash64("url").alias("url_hash"), F.lit(0).alias("admit_epoch")
@@ -273,6 +279,47 @@ def init_state(
 
 
 _MIN_URLS_PER_FETCH_TASK = 4  # drain-epoch floor; 2× slots still caps above
+
+_HOST_COUNTS_SCHEMA = "host string, n_pending bigint"
+
+
+def _read_host_counts(spark: SparkSession, ckpt: str, epoch: int) -> DataFrame | None:
+    """The carried per-host pending-count table for `epoch`'s frontier, or
+    None when absent (pre-carry checkpoint, reseed/expiry epoch) — callers
+    then recompute from the frontier. Explicit schema: no inference listing."""
+    path = ck.table_path(ckpt, epoch, "host_counts")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.schema(_HOST_COUNTS_SCHEMA).parquet(path)
+
+
+def _next_host_counts(
+    host_counts: DataFrame, taken: DataFrame, admitted: DataFrame | None
+) -> DataFrame:
+    """Next epoch's per-host pending counts, incrementally:
+    pending − taken (+ admitted-by-host), hosts at zero dropped (matching
+    what a fresh frontier groupBy would produce). All inputs are tiny
+    (|hosts| rows) or already persisted (admitted), so this adds one small
+    overlapped write, not a frontier scan."""
+    nxt = host_counts.join(taken, "host", "left").select(
+        "host",
+        (
+            F.col("n_pending") - F.coalesce(F.col("n_taken"), F.lit(0))
+        ).alias("n_pending"),
+    )
+    if admitted is not None:
+        adm = admitted.groupBy("host").agg(F.count(F.lit(1)).alias("_n_adm"))
+        nxt = (
+            nxt.join(adm, "host", "full")
+            .select(
+                "host",
+                (
+                    F.coalesce(F.col("n_pending"), F.lit(0))
+                    + F.coalesce(F.col("_n_adm"), F.lit(0))
+                ).alias("n_pending"),
+            )
+        )
+    return nxt.filter(F.col("n_pending") > 0)
 
 
 def _write_tables_concurrently(
@@ -501,18 +548,27 @@ def run_epoch(
     default_budget = int(spec.burst)
     budgets = politeness.withColumn("budget", F.floor("tokens").cast("int"))
 
-    # per-host pending counts, computed ONCE and cached: they feed (a) the
-    # tiny agg below that decides everything the driver needs — total pending
-    # and whether any host's pending exceeds its budget (if not, the per-host
-    # top-k window — the only sort in the loop — is skipped entirely; this
-    # is the steady-state fast path when politeness isn't the binding
-    # constraint, and the drain phase of every crawl) — (b) the active-host
-    # set for the politeness refill, and (c) the fast path's per-host taken
-    # counts (selected == frontier there), so the epoch runs one shuffle over
-    # the frontier keys instead of three separate cached scans
-    host_counts = (
-        frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n_pending")).persist()
-    )
+    # per-host pending counts: they feed (a) the tiny agg below that decides
+    # everything the driver needs — total pending and whether any host's
+    # pending exceeds its budget (if not, the per-host top-k window — the
+    # only sort in the loop — is skipped entirely; this is the steady-state
+    # fast path when politeness isn't the binding constraint, and the drain
+    # phase of every crawl) — (b) the active-host set for the politeness
+    # refill, and (c) the fast path's per-host taken counts (selected ==
+    # frontier there). Round 5: the previous commit CARRIES these counts
+    # (pending − taken + admitted, a host_counts epoch table), so the plan
+    # phase normally aggregates |hosts| rows instead of re-shuffling the
+    # whole frontier — at 10^10-URL scale that removes a full frontier
+    # groupBy per epoch. Fallback (pre-carry checkpoints, reseed/expiry
+    # epochs that skip the carry): recompute from the frontier;
+    # tests/test_host_counts_carry.py pins carried == recomputed on every
+    # committed epoch.
+    host_counts = _read_host_counts(spark, ckpt, epoch)
+    if host_counts is None:
+        host_counts = frontier.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_pending")
+        )
+    host_counts = host_counts.persist()
     pending_stats = (
         host_counts.join(F.broadcast(budgets), "host", "left")
         .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
@@ -577,6 +633,7 @@ def run_epoch(
     if n_selected == 0:
         # virtual-time tick: refill buckets, carry frontier unchanged
         ck.write_table(frontier.select(*FRONTIER_COLS), ckpt, out_epoch, "frontier")
+        ck.write_table(host_counts, ckpt, out_epoch, "host_counts")
         ck.write_table(
             _advance_politeness(spec, politeness, active, None),
             ckpt,
@@ -659,6 +716,7 @@ def run_epoch(
             out_epoch,
             [
                 (remaining, "frontier"),
+                (_next_host_counts(host_counts, taken, None), "host_counts"),
                 (_advance_politeness(spec, politeness, active, taken), "politeness"),
             ],
         )
@@ -749,6 +807,7 @@ def run_epoch(
         out_epoch,
         [
             (new_frontier, "frontier"),
+            (_next_host_counts(host_counts, taken, admitted), "host_counts"),
             (
                 admitted.select(
                     "url", "url_hash", F.lit(out_epoch).alias("admit_epoch")
@@ -836,6 +895,12 @@ def init_steady_frontier(
         " pos int, kind string, url string, host string",
     )
     ck.write_table(frontier.select(*FRONTIER_COLS), ckpt, 0, "frontier")
+    ck.write_table(
+        frontier.groupBy("host").agg(F.count(F.lit(1)).alias("n_pending")),
+        ckpt,
+        0,
+        "host_counts",
+    )
     ck.write_table(
         frontier.select(
             "url", url_hash64("url").alias("url_hash"), F.lit(0).alias("admit_epoch")

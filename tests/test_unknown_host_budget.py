@@ -7,6 +7,7 @@ table via the full-outer refill."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -51,6 +52,10 @@ def _inject_unknown_host(spark, ckpt):
     )
     seen_rows = seen.collect()
     ck.write_table(spark.createDataFrame(seen_rows, seen.schema), ckpt, 0, "seen_new")
+    # hand-editing the frontier invalidates the carried host_counts (in the
+    # real flow admissions maintain it via _next_host_counts) — drop it so
+    # run_epoch takes the documented recompute fallback
+    shutil.rmtree(ck.table_path(ckpt, 0, "host_counts"), ignore_errors=True)
     bf = BloomFilter(1024)
     bf.save(os.path.join(ck.epoch_dir(ckpt, 0), "bloom.npz"))
 
