@@ -793,12 +793,22 @@ def run_epoch(
         bf = None
         admitted = cand.join(seen, "url", "left_anti").persist()
 
-    n_admitted = admitted.count()
     _mark("admission")
 
-    # ---- commit next state (independent writes overlapped; admitted is
-    # persisted + already materialized by the count, so concurrent readers
-    # share the cache)
+    # ---- commit next state. `admitted` is persisted but NOT
+    # pre-materialized with a count job: the seen_new write below is the one
+    # pass that computes it into the cache (written and materialized in the
+    # same job), n_admitted then comes from the written parquet footers —
+    # exact, driver-side metadata — and the remaining three independent
+    # writes read the cache concurrently. One full Spark job less per epoch
+    # than count-then-write, with no concurrent cache-fill contention.
+    ck.write_table(
+        admitted.select("url", "url_hash", F.lit(out_epoch).alias("admit_epoch")),
+        ckpt,
+        out_epoch,
+        "seen_new",
+    )
+    n_admitted = ck.table_num_rows(ckpt, out_epoch, "seen_new")
     new_frontier = remaining.unionByName(admitted.select(*FRONTIER_COLS)).repartition(
         "host"
     )
@@ -808,12 +818,6 @@ def run_epoch(
         [
             (new_frontier, "frontier"),
             (_next_host_counts(host_counts, taken, admitted), "host_counts"),
-            (
-                admitted.select(
-                    "url", "url_hash", F.lit(out_epoch).alias("admit_epoch")
-                ),
-                "seen_new",
-            ),
             (_advance_politeness(spec, politeness, active, taken), "politeness"),
         ],
     )

@@ -41,6 +41,21 @@ def read_table(spark: SparkSession, ckpt: str, epoch: int, name: str) -> DataFra
     return spark.read.parquet(table_path(ckpt, epoch, name))
 
 
+def table_num_rows(ckpt: str, epoch: int, name: str) -> int:
+    """Exact row count of a written epoch table from the parquet footers —
+    O(part files) driver-side metadata reads, no Spark job. Iceberg keeps
+    the same number in each snapshot's manifest (record_count), so this
+    stays a metadata read under the real catalog too."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    root = table_path(ckpt, epoch, name)
+    for fn in os.listdir(root):
+        if fn.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
+
+
 def commit_epoch(ckpt: str, epoch: int, lineage: dict) -> None:
     """Write the manifest marker — the epoch is visible only after this."""
     payload = {"epoch": epoch, "committed_unix": time.time(), **lineage}

@@ -108,6 +108,22 @@ def test_committed_epochs_immutable_as_later_epochs_land(spark):
         )
 
 
+def test_table_num_rows_matches_read_back_count(spark, tmp_path):
+    """table_num_rows must be exact (crawl.py uses it as n_admitted) and
+    must come from footers only — no Spark job. Write a multi-part table,
+    compare against a full read-back count."""
+    ckpt = str(tmp_path)
+    df = spark.range(0, 1237, 1, 7).selectExpr(
+        "concat('u', id) AS url", "id AS url_hash", "0 AS admit_epoch"
+    )
+    cp.write_table(df, ckpt, 0, "seen_new")
+    assert cp.table_num_rows(ckpt, 0, "seen_new") == 1237
+    assert cp.read_table(spark, ckpt, 0, "seen_new").count() == 1237
+    # empty table: footers still present, count is 0
+    cp.write_table(df.limit(0), ckpt, 0, "empty")
+    assert cp.table_num_rows(ckpt, 0, "empty") == 0
+
+
 def test_interface_exposes_no_mutation_of_committed_epochs():
     """The module's public surface must stay catalog-swappable: the only
     write primitives are stage (write_table), commit (commit_epoch), and
@@ -119,6 +135,8 @@ def test_interface_exposes_no_mutation_of_committed_epochs():
         # stage / commit / read / crash-cleanup — the Iceberg-honorable set
         "write_table",
         "read_table",
+        # read-only snapshot metadata (Iceberg: snapshot summary record_count)
+        "table_num_rows",
         "commit_epoch",
         "committed_epochs",
         "last_committed",
