@@ -577,6 +577,11 @@ def run_epoch(
             F.max(
                 F.when(F.col("n_pending") > F.col("budget"), 1).otherwise(0)
             ).alias("constrained"),
+            # the salted top-budget below takes exactly min(pending, budget)
+            # per host, so the selected-set size is known BEFORE selection —
+            # one aggregate over |hosts| rows replaces a count job over the
+            # selected frontier rows (10^8+/epoch at full scale)
+            F.sum(F.least("n_pending", "budget")).alias("n_selected"),
         )
         .first()
     )
@@ -627,8 +632,18 @@ def run_epoch(
         remaining = dropped.unionByName(
             ranked.filter(F.col("rn") > F.col("budget")).select(*FRONTIER_COLS)
         )
-        n_selected = selected.count()
-        taken = selected.groupBy("host").agg(F.count(F.lit(1)).alias("n_taken"))
+        # both derived from |hosts|-row metadata, not from the selected rows:
+        # per-host take is exactly min(pending, budget) (proved bit-identical
+        # to the window output by test_crawl_skew/test_crawl_equivalence), so
+        # no count job and no groupBy shuffle over the selected set
+        n_selected = int(pending_stats["n_selected"])
+        taken = (
+            host_counts.join(F.broadcast(budgets), "host", "left")
+            .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+            .select(
+                "host", F.least("n_pending", "budget").alias("n_taken")
+            )
+        )
     _mark("select")
     if n_selected == 0:
         # virtual-time tick: refill buckets, carry frontier unchanged
