@@ -403,6 +403,33 @@ def _filter_add_from_df(flt, hashes_df: DataFrame, n_rows: int | None = None) ->
         _bloom_add_from_df(flt, hashes_df, n_rows)
 
 
+# Below this many admitted URLs the seen-filter add runs driver-side from
+# the just-written seen_new parquet (≤8 MB of int64 hashes — same bound as
+# expire_seen's chunks) instead of launching a Spark job: the distributed
+# build is one full job of fixed ~0.5 s latency to hash a few hundred rows,
+# the dominant term of the small-site epoch's `bloom` phase (r5 phase_ms
+# profile). Big admission batches keep the treeReduce path unchanged.
+_DRIVER_ADD_MAX_ROWS = 1 << 20
+
+
+def _filter_add_after_write(
+    flt, ckpt: str, epoch: int, hashes_df: DataFrame, n_rows: int
+) -> None:
+    """Add an admission batch whose hashes are ALREADY persisted as the
+    epoch's seen_new table: small batches read the column driver-side (no
+    Spark job), large ones go distributed. Replay-deterministic either way
+    (sorted part files / deterministic coalesce), so resume stays
+    byte-identical."""
+    if n_rows <= _DRIVER_ADD_MAX_ROWS:
+        flt.add_many(
+            ck.read_column_local(
+                ckpt, epoch, "seen_new", "url_hash", max_rows=_DRIVER_ADD_MAX_ROWS
+            )
+        )
+    else:
+        _filter_add_from_df(flt, hashes_df, n_rows=n_rows)
+
+
 # growth trigger for the cuckoo seen-filter: above ~90% of slot capacity,
 # eviction cascades lengthen and add_many can hit its _MAX_KICKS RuntimeError
 # mid-commit (ADVICE r3) — grow BEFORE inserting the batch that would cross it
@@ -849,8 +876,8 @@ def run_epoch(
                 # is already written, so the rebuild covers the batch too)
                 bf = _grow_cuckoo(spark, ckpt, out_epoch, bf, len(bf) + n_admitted)
             else:
-                _filter_add_from_df(
-                    bf, admitted.select("url_hash"), n_rows=n_admitted
+                _filter_add_after_write(
+                    bf, ckpt, out_epoch, admitted.select("url_hash"), n_admitted
                 )
         bf.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
     filter_load = _seen_filter_load(bf)  # inside the timed phase

@@ -124,6 +124,28 @@ def test_table_num_rows_matches_read_back_count(spark, tmp_path):
     assert cp.table_num_rows(ckpt, 0, "empty") == 0
 
 
+def test_read_column_local_is_bounded_and_exact(spark, tmp_path):
+    """read_column_local must return every value of the column (any row
+    order — filter add_many is order-insensitive set semantics) and must
+    REFUSE to exceed the caller's row bound rather than silently collect."""
+    import numpy as np
+    import pytest
+
+    ckpt = str(tmp_path)
+    df = spark.range(0, 500, 1, 5).selectExpr(
+        "concat('u', id) AS url", "id AS url_hash", "0 AS admit_epoch"
+    )
+    cp.write_table(df, ckpt, 0, "seen_new")
+    got = cp.read_column_local(ckpt, 0, "seen_new", "url_hash", max_rows=500)
+    assert sorted(got.tolist()) == list(range(500))
+    assert got.dtype == np.int64
+    with pytest.raises(ValueError, match="exceeds"):
+        cp.read_column_local(ckpt, 0, "seen_new", "url_hash", max_rows=499)
+    # empty table → empty int64 array, not an error
+    cp.write_table(df.limit(0), ckpt, 0, "empty")
+    assert cp.read_column_local(ckpt, 0, "empty", "url_hash", max_rows=10).size == 0
+
+
 def test_interface_exposes_no_mutation_of_committed_epochs():
     """The module's public surface must stay catalog-swappable: the only
     write primitives are stage (write_table), commit (commit_epoch), and
@@ -137,6 +159,9 @@ def test_interface_exposes_no_mutation_of_committed_epochs():
         "read_table",
         # read-only snapshot metadata (Iceberg: snapshot summary record_count)
         "table_num_rows",
+        # bounded read-only column scan of a small snapshot (Iceberg: a
+        # client-side read of a snapshot's data files — still no mutation)
+        "read_column_local",
         "commit_epoch",
         "committed_epochs",
         "last_committed",
