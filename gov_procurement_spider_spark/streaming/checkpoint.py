@@ -56,18 +56,19 @@ def table_num_rows(ckpt: str, epoch: int, name: str) -> int:
     return total
 
 
-def read_column_local(
-    ckpt: str, epoch: int, name: str, column: str, max_rows: int
-) -> "np.ndarray":
-    """Driver-side single-column read of a SMALL staged/committed epoch
-    table — the latency escape hatch for per-epoch filter maintenance on
-    small admission batches (a Spark job costs ~0.5 s of fixed latency to
-    hash a few hundred rows). Bounded by construction: callers must pass
-    the row cap they already know from ``table_num_rows`` and the read
-    raises if the table exceeds it, so this can never become an unbounded
-    driver collect. Iceberg-honorable: snapshot data files are parquet
-    under the real catalog too, and a read-only scan of one column of a
-    small snapshot is exactly what an Iceberg client library does."""
+def read_columns_local(
+    ckpt: str, epoch: int, name: str, columns: list, max_rows: int
+) -> dict:
+    """Driver-side column read of a SMALL staged/committed epoch table —
+    the latency escape hatch for per-epoch scheduler bookkeeping (a Spark
+    job costs ~0.3-0.5 s of fixed latency to scan a few hundred rows).
+    Bounded by construction: callers must pass the row cap they already
+    know from ``table_num_rows`` and the read raises if the table exceeds
+    it, so this can never become an unbounded driver collect. Returns
+    {column: np.ndarray} (object dtype for strings). Iceberg-honorable:
+    snapshot data files are parquet under the real catalog too, and a
+    read-only client-side scan of a small snapshot is exactly what an
+    Iceberg client library does."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -77,17 +78,30 @@ def read_column_local(
     for fn in sorted(os.listdir(root)):  # sorted: deterministic replay order
         if not fn.endswith(".parquet"):
             continue
-        t = pq.read_table(os.path.join(root, fn), columns=[column])
+        t = pq.read_table(os.path.join(root, fn), columns=list(columns))
         total += t.num_rows
         if total > max_rows:
             raise ValueError(
-                f"read_column_local({name}.{column}): {total} rows exceeds "
+                f"read_columns_local({name}): {total} rows exceeds "
                 f"the caller's bound of {max_rows}"
             )
-        parts.append(t.column(column).to_numpy(zero_copy_only=False))
+        parts.append(t)
     if not parts:
-        return np.empty(0, dtype=np.int64)
-    return np.concatenate(parts)
+        return {c: np.empty(0, dtype=np.int64) for c in columns}
+    import pyarrow as pa
+
+    tbl = pa.concat_tables(parts)
+    return {
+        c: tbl.column(c).to_numpy(zero_copy_only=False) for c in columns
+    }
+
+
+def read_column_local(
+    ckpt: str, epoch: int, name: str, column: str, max_rows: int
+) -> "np.ndarray":
+    """Single-column convenience over ``read_columns_local`` (the
+    seen-filter add path)."""
+    return read_columns_local(ckpt, epoch, name, [column], max_rows)[column]
 
 
 def commit_epoch(ckpt: str, epoch: int, lineage: dict) -> None:

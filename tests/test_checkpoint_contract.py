@@ -159,9 +159,10 @@ def test_interface_exposes_no_mutation_of_committed_epochs():
         "read_table",
         # read-only snapshot metadata (Iceberg: snapshot summary record_count)
         "table_num_rows",
-        # bounded read-only column scan of a small snapshot (Iceberg: a
+        # bounded read-only column scans of a small snapshot (Iceberg: a
         # client-side read of a snapshot's data files — still no mutation)
         "read_column_local",
+        "read_columns_local",
         "commit_epoch",
         "committed_epochs",
         "last_committed",

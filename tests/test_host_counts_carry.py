@@ -96,3 +96,44 @@ def test_missing_table_falls_back_to_recompute(spark):
     res = C.run_crawl(spark, spec, ckpt)  # resumes from the stripped epoch
     assert res.epochs > last
     _assert_counts_match_frontier(spark, ckpt)
+
+
+def test_local_pending_stats_match_spark_aggregate(spark):
+    """The driver-side plan-scalar path (_pending_stats_local) must return
+    exactly what the distributed aggregate returns, on every committed
+    epoch of a crawl that exercises both constrained and fast-path epochs
+    — same budget = floor(tokens) semantics, same default for hosts absent
+    from the politeness table."""
+    spec = SiteSpec(
+        n_seeds=6, n_hosts=3, detail_space=60, max_list_pages=3,
+        rate_per_sec=2.0, burst=4.0, epoch_seconds=2.0,
+    )
+    ckpt = tempfile.mkdtemp(prefix="hc_stats_")
+    C.run_crawl(spark, spec, ckpt)
+    default_budget = int(spec.burst)
+    checked = 0
+    for e in ck.committed_epochs(ckpt):
+        carried = C._read_host_counts(spark, ckpt, e)
+        if carried is None:
+            continue
+        local = C._pending_stats_local(ckpt, e, default_budget)
+        assert local is not None
+        budgets = ck.read_table(spark, ckpt, e, "politeness").withColumn(
+            "budget", F.floor("tokens").cast("int")
+        )
+        row = (
+            carried.join(F.broadcast(budgets), "host", "left")
+            .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
+            .agg(
+                F.sum("n_pending").alias("nf"),
+                F.max(
+                    F.when(F.col("n_pending") > F.col("budget"), 1).otherwise(0)
+                ).alias("c"),
+                F.sum(F.least("n_pending", "budget")).alias("ns"),
+            )
+            .first()
+        )
+        want = (int(row["nf"] or 0), int(row["c"] or 0), int(row["ns"] or 0))
+        assert local == want, f"epoch {e}: local {local} != spark {want}"
+        checked += 1
+    assert checked >= 2
