@@ -23,17 +23,18 @@ here with hashlib (bit-identical to both engines' md5 — asserted against
 DuckDB in tests/test_ann_recall.py) so the signature costs zero runtime
 hashing; the DuckDB oracle recomputes them from md5 in SQL.
 
-Cross-engine float caveat (accepted, documented): sign bits and rounded
-similarities compare float64 sums whose summation ORDER differs between
-numpy (pairwise/SIMD) and DuckDB (sequential). The engines can only diverge
-when a true value sits within the ~1e-13 accumulated-order error of a
-decision boundary (0 for sign bits, a 5e-5 rounding edge for 4dp cell
+Cross-engine float caveat (accepted, documented): sign bits and IVF cell
+ranks compare float64 sums whose summation ORDER differs between numpy
+(pairwise/SIMD matmul) and DuckDB (sequential). The engines can only
+diverge when a true value sits within the ~1e-13 accumulated-order error of
+a decision boundary (0 for sign bits, a 5e-5 rounding edge for 4dp cell
 ranks) — per-comparison probability ~1e-9 on this data, zero observed
-across three rounds of full-registry parity. The alternative (interpreted
-aggregate/zip_with lambdas to force sequential order) costs ~100× on the
-hot path; if a boundary hit ever surfaces, quantize the INPUTS (embeddings
-to fixed-point ints) rather than slowing the math — the integer-exact
-recipe au1/im1 use.
+across four rounds of full-registry parity. Cosine SIMILARITIES are outside
+the caveat since round 5: _cos_seq_udf reproduces the sequential left-fold
+bit-exactly with np.add.accumulate, so the vectorized scorer carries no
+order error at all (and if a boundary hit ever surfaces elsewhere, quantize
+the INPUTS — fixed-point ints, the au1/im1 recipe — rather than slowing the
+math).
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..sources.tables import load_table
 from .registry import register
@@ -76,6 +77,12 @@ def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine(a, b):
+    """Cosine as interpreted higher-order fns — the semantic REFERENCE for
+    `_cos_seq_udf` (which is pinned bit-identical to this in
+    tests/test_ann_recall.py), kept for that test, not used on hot paths:
+    at sf0.1 the per-element lambda interpreter cost ~16 µs per 64-dim pair
+    (pair generation 1.13 s with this vs 0.53 s without — the cosine was
+    half of ml3's executed time)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -88,6 +95,28 @@ def _cosine(a, b):
         F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
     return dot / (na * nb)
+
+
+@F.pandas_udf(DoubleType())
+def _cos_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine over two array<float> columns, BIT-IDENTICAL to `_cosine`'s
+    interpreted fold: `np.add.accumulate` along the dim axis reproduces the
+    left-fold partial-sum sequence exactly (0.0 + x₀ ≡ x₀, then strictly
+    sequential float64 adds — unlike np.dot/sum's pairwise/SIMD order), the
+    float→double casts and the dot/(na·nb) expression shape match term for
+    term. That exactness is what keeps the DuckDB oracle hash-matching
+    (DuckDB's list_cosine_similarity is the same sequential loop); asserted
+    on real data in tests/test_ann_recall.py. Batched Arrow replaces ~16 µs
+    of per-pair lambda interpretation with vectorized numpy: pair
+    generation at sf0.1 went 1.13 → 0.68 s measured."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    dot = np.add.accumulate(A * B, axis=1)[:, -1]
+    na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
+    nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
+    return pd.Series(dot / (na * nb))
 
 
 @register(
@@ -108,13 +137,14 @@ def _cosine(a, b):
     """,
 )
 def ml1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-{_TOP_K} for the first 50 query vectors:
-    zip_with dot product + aggregate norms (JVM-side, no UDF), ranked with a
-    rounded similarity so cross-engine float ties break identically."""
+    """Brute-force cosine top-{_TOP_K} for the first 50 query vectors,
+    ranked with a rounded similarity so cross-engine float ties break
+    identically (the Arrow-batched scorer is fold-order bit-identical to
+    the declarative one — see _cos_seq_udf)."""
     e = _load_embeddings(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
-    sim = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    sim = F.round(_cos_seq_udf(F.col("a.embedding"), F.col("b.embedding")), 6)
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         a.filter(F.col("a.vec_id") < 50)
@@ -259,10 +289,14 @@ def ml3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFrame:
     """(vec_id, embedding) → unordered candidate pairs (a_id < b_id, sim)
     from multi-band LSH buckets, posting-list style: ONE shuffle groups each
-    (band, bucket)'s members (embedding carried in the struct), pairs and
-    their cosines are generated IN-ROW from array combinations — no
-    self-join, no distinct-shuffle, no embedding re-join. Pairs found by
-    several bands are deduped by the caller's groupBy."""
+    (band, bucket)'s members (embedding carried in the struct), pairs are
+    generated IN-ROW from array combinations — no self-join, no
+    distinct-shuffle, no embedding re-join. Pair rows carry both embeddings
+    only WITHIN the stage (explode → Arrow scorer, never shuffled) so the
+    cosines batch through _cos_seq_udf — round-5 measured 1.13 → 0.68 s at
+    sf0.1 vs computing them in-row with interpreted lambdas, bit-identical
+    results. Pairs found by several bands are deduped by the caller's
+    groupBy."""
     exploded = e.select(
         "vec_id",
         "embedding",
@@ -278,7 +312,8 @@ def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFra
     pair = lambda x, y: F.struct(  # noqa: E731
         x["vec_id"].alias("a_id"),
         y["vec_id"].alias("b_id"),
-        F.round(_cosine(x["embedding"], y["embedding"]), 6).alias("sim"),
+        x["embedding"].alias("a_emb"),
+        y["embedding"].alias("b_emb"),
     )
     return grouped.select(
         F.explode(
@@ -291,7 +326,11 @@ def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFra
                 )
             )
         ).alias("p")
-    ).select("p.a_id", "p.b_id", "p.sim")
+    ).select(
+        "p.a_id",
+        "p.b_id",
+        F.round(_cos_seq_udf("p.a_emb", "p.b_emb"), 6).alias("sim"),
+    )
 
 
 def ann_lsh_topk(

@@ -156,3 +156,28 @@ def test_simhash_cap_inert_below_tau(spark):
     a = simhash_pairs(sig, max_bucket=10_000).collect()
     b = simhash_pairs(sig, max_bucket=None).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cos_seq_udf_bit_identical_to_declarative_fold(spark):
+    """_cos_seq_udf (Arrow-batched np.add.accumulate) must reproduce the
+    interpreted F.aggregate left-fold BIT-exactly — same unrounded float64
+    for every pair, not merely close: the DuckDB oracle's hash compare
+    tolerates zero ULP of drift at the 6dp rounding boundary. Checked on
+    the planted-near-dup corpus (450 vectors, all consecutive pairs)."""
+    from gov_procurement_spider_spark.plans.ml_ops import _cos_seq_udf, _cosine
+
+    e = _corpus(spark)
+    w = e.withColumn(
+        "nxt", F.lead("embedding").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .orderBy("vec_id")
+        ),
+    ).filter(F.col("nxt").isNotNull())
+    both = w.select(
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("nxt")).alias("hof"),
+        _cos_seq_udf(F.col("embedding"), F.col("nxt")).alias("np"),
+    ).collect()
+    assert len(both) == N_BASE + N_PLANTED - 1
+    for r in both:
+        assert r["hof"] == r["np"], (r["vec_id"], r["hof"].hex(), r["np"].hex())
