@@ -46,7 +46,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ..sources.tables import load_table
 from .registry import register
@@ -77,12 +83,13 @@ def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine(a, b):
-    """Cosine as interpreted higher-order fns — the semantic REFERENCE for
-    `_cos_seq_udf` (which is pinned bit-identical to this in
-    tests/test_ann_recall.py), kept for that test, not used on hot paths:
-    at sf0.1 the per-element lambda interpreter cost ~16 µs per 64-dim pair
-    (pair generation 1.13 s with this vs 0.53 s without — the cosine was
-    half of ml3's executed time)."""
+    """Cosine as interpreted higher-order fns — the semantic REFERENCE the
+    vectorized scorers (`_cos_seq_udf`, `_pair_scores_udf`) are pinned
+    bit-identical to in tests/test_ann_recall.py. Used directly by ml1,
+    where the pair rows already exist (BNLJ output) and shipping 2×64
+    floats per pair through Arrow costs more CPU than the ~16 µs/pair
+    lambda interpreter saves (measured, `BENCH/raw_r5/ab_cpu.jsonl`); the
+    bucketed paths score BEFORE exploding instead (`_pair_scores_udf`)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -119,6 +126,58 @@ def _cos_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (na * nb))
 
 
+_PAIR_STRUCT = StructType(
+    [
+        StructField("a_id", LongType()),
+        StructField("b_id", LongType()),
+        StructField("sim", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(ArrayType(_PAIR_STRUCT))
+def _pair_scores_udf(vs: pd.Series) -> pd.Series:
+    """One LSH bucket's member list in → every scored pair (a_id < b_id,
+    unrounded sim) out. This is the round-5 replacement for scoring pairs
+    AFTER the explode: there, each embedding crossed the Arrow boundary once
+    per pair it participates in (m·(m−1) copies per m-member bucket — the
+    per-pair duplication measured as +1.6 CPU-s on ml3 and nearly 2× CPU on
+    ml1's BNLJ in BENCH/raw_r5/ab_cpu.jsonl); here each member crosses ONCE
+    and pairs come back as three scalars. The cosine is the same
+    fold-exact `np.add.accumulate` recipe as `_cos_seq_udf` (bit-identical
+    to `_cosine`'s interpreted left-fold, so DuckDB oracle parity holds by
+    construction); rounding stays JVM-side (`F.round` after the explode),
+    unchanged from every prior round. Buckets are `_MAX_BUCKET`-capped by
+    the caller, so per-row work is bounded."""
+    out = []
+    for members in vs:
+        m = len(members)
+        if m < 2:
+            out.append([])
+            continue
+        ids = np.fromiter(
+            (mm["vec_id"] for mm in members), dtype=np.int64, count=m
+        )
+        E = np.stack(
+            [np.asarray(mm["embedding"]) for mm in members]
+        ).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, E = ids[order], E[order]
+        i, j = np.triu_indices(m, 1)
+        A, B = E[i], E[j]
+        dot = np.add.accumulate(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
+        sim = dot / (na * nb)
+        out.append(
+            [
+                {"a_id": int(ids[a]), "b_id": int(ids[b]), "sim": float(s)}
+                for a, b, s in zip(i, j, sim)
+            ]
+        )
+    return pd.Series(out, dtype=object)
+
+
 @register(
     "ml1_cosine_topk",
     f"""
@@ -137,14 +196,21 @@ def _cos_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """,
 )
 def ml1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-{_TOP_K} for the first 50 query vectors,
-    ranked with a rounded similarity so cross-engine float ties break
-    identically (the Arrow-batched scorer is fold-order bit-identical to
-    the declarative one — see _cos_seq_udf)."""
+    """Brute-force cosine top-{_TOP_K} for the first 50 query vectors:
+    zip_with dot product + aggregate norms (JVM-side, no UDF), ranked with a
+    rounded similarity so cross-engine float ties break identically.
+
+    Round-5 note: an Arrow-batched per-pair scorer was tried here and
+    REVERTED — the BNLJ duplicates both embeddings into every joined row, so
+    scoring after the join ships 2×64 floats per pair through Arrow, which
+    a CPU-second A/B measured at ~1.8× the total CPU of the interpreted
+    JVM fold (`BENCH/raw_r5/ab_cpu.jsonl`). The bounded 50-row broadcast
+    side keeps the interpreted cost small; the bucketed paths (ml3/dd6)
+    batch whole buckets instead — see `_pair_scores_udf`."""
     e = _load_embeddings(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
-    sim = F.round(_cos_seq_udf(F.col("a.embedding"), F.col("b.embedding")), 6)
+    sim = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         a.filter(F.col("a.vec_id") < 50)
@@ -289,47 +355,30 @@ def ml3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFrame:
     """(vec_id, embedding) → unordered candidate pairs (a_id < b_id, sim)
     from multi-band LSH buckets, posting-list style: ONE shuffle groups each
-    (band, bucket)'s members (embedding carried in the struct), pairs are
-    generated IN-ROW from array combinations — no self-join, no
-    distinct-shuffle, no embedding re-join. Pair rows carry both embeddings
-    only WITHIN the stage (explode → Arrow scorer, never shuffled) so the
-    cosines batch through _cos_seq_udf — round-5 measured 1.13 → 0.68 s at
-    sf0.1 vs computing them in-row with interpreted lambdas, bit-identical
-    results. Pairs found by several bands are deduped by the caller's
-    groupBy."""
+    (band, bucket)'s members (embedding carried in the struct), then the
+    whole bucket batches through `_pair_scores_udf` — each member crosses
+    the Arrow boundary ONCE and every pair's fold-exact cosine comes back as
+    three scalars (no per-pair embedding duplication in-stage, no self-join,
+    no distinct-shuffle, no embedding re-join; the UDF sorts members by
+    vec_id so a_id < b_id deterministically). Rounding stays JVM-side so the
+    DuckDB comparison semantics are unchanged. Pairs found by several bands
+    are deduped by the caller's groupBy."""
     exploded = e.select(
         "vec_id",
         "embedding",
         F.posexplode(F.slice(_bucket_udf("embedding"), 1, n_bands)),
     ).withColumnsRenamed({"pos": "band", "col": "bucket"})
     grouped = exploded.groupBy("band", "bucket").agg(
-        F.array_sort(
-            F.collect_list(F.struct("vec_id", "embedding"))
-        ).alias("vs")
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("vs") <= max_bucket)
-    pair = lambda x, y: F.struct(  # noqa: E731
-        x["vec_id"].alias("a_id"),
-        y["vec_id"].alias("b_id"),
-        x["embedding"].alias("a_emb"),
-        y["embedding"].alias("b_emb"),
-    )
     return grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "vs",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("vs"), i + 2, F.size("vs")), lambda y: pair(x, y)
-                    ),
-                )
-            )
-        ).alias("p")
+        F.explode(_pair_scores_udf("vs")).alias("p")
     ).select(
         "p.a_id",
         "p.b_id",
-        F.round(_cos_seq_udf("p.a_emb", "p.b_emb"), 6).alias("sim"),
+        F.round(F.col("p.sim"), 6).alias("sim"),
     )
 
 

