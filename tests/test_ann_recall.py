@@ -226,3 +226,41 @@ def test_pair_scores_udf_bit_identical_to_declarative_fold(spark):
     # that no pair pairs a vector with itself and every planted dup pair
     # that shares a bucket was emitted with its true cosine
     assert all(a != b for a, b in got)
+
+
+def test_pair_scores_udf_edges_direct():
+    """Direct (no-Spark) unit of the bucket scorer's edge cases: empty
+    batch, singleton buckets (no pairs), and members arriving UNSORTED —
+    the UDF must sort by vec_id itself so a_id < b_id holds regardless of
+    collect_list's nondeterministic order."""
+    import numpy as np
+    import pandas as pd
+
+    from gov_procurement_spider_spark.plans.ml_ops import _pair_scores_udf
+
+    fn = _pair_scores_udf.func
+    # empty batch
+    out = fn(pd.Series([], dtype=object))
+    assert len(out) == 0
+    # singleton bucket → no pairs; unsorted 3-bucket → 3 sorted pairs
+    e1 = np.ones(4, dtype=np.float32)
+    e2 = np.array([1, 0, 0, 0], dtype=np.float32)
+    e3 = np.array([0, 1, 0, 0], dtype=np.float32)
+    rows = pd.Series(
+        [
+            [{"vec_id": 7, "embedding": e1}],
+            [
+                {"vec_id": 9, "embedding": e3},
+                {"vec_id": 2, "embedding": e1},
+                {"vec_id": 5, "embedding": e2},
+            ],
+        ],
+        dtype=object,
+    )
+    out = fn(rows)
+    assert out[0] == []
+    pairs = [(p["a_id"], p["b_id"]) for p in out[1]]
+    assert pairs == [(2, 5), (2, 9), (5, 9)]
+    sims = {(p["a_id"], p["b_id"]): p["sim"] for p in out[1]}
+    assert abs(sims[(2, 5)] - 0.5) < 1e-12  # cos(ones, e1-axis) = 1/2
+    assert sims[(5, 9)] == 0.0  # orthogonal axes
