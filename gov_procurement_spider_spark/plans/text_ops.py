@@ -209,7 +209,14 @@ def _shingles_spark(d: DataFrame) -> DataFrame:
     # partitions, which would run the ~100× shingle explode single-task;
     # spread docs across the executor slots first (cheap: pre-explosion)
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
-    toks = _TOKENS_SPARK(F.col("text"))
+    # split ONCE through a projected column: higher-order lambdas evaluate
+    # interpreted with no common-subexpression elimination, so referencing
+    # split(text) inside the per-element lambda re-tokenized the whole
+    # document for every element_at call — 3 full re-splits per shingle,
+    # O(tokens²) per document (round-6 profile: the shingle Generate
+    # dominated dd2/dd4 CPU). An attribute boundary (Project below the
+    # Generate) makes it one split per document.
+    toks = F.col("_toks")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 3),
@@ -221,7 +228,9 @@ def _shingles_spark(d: DataFrame) -> DataFrame:
             ),
         )
     )
-    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+    return d.select(
+        "doc_id", _TOKENS_SPARK(F.col("text")).alias("_toks")
+    ).select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 # hot-shingle cap: shingles shared by more than this many docs are
@@ -254,8 +263,12 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("sz"))
     )
     # all ordered pairs (docs[i], docs[j]) with i < j from each posting list:
-    # ≤ τ(τ-1)/2 structs per shingle, generated inside the row
-    pairs = grouped.select(
+    # ≤ τ(τ-1)/2 structs per shingle, generated inside the row. Singleton
+    # posting lists (the overwhelming majority of distinct shingles) can't
+    # produce a pair — filter them BEFORE the interpreted combination
+    # lambdas rather than evaluating transform/flatten to an empty array
+    # per list (round 6; sizes below still counts every capped list).
+    pairs = grouped.filter(F.size("docs") >= 2).select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -332,18 +345,34 @@ _MINHASH_DUCK = f"""
 """
 
 
-def _minhash_spark(d: DataFrame) -> DataFrame:
-    """All k minima in ONE aggregation pass over the shingle explode (no ×k
-    row blow-up, ONE md5 per shingle — the k-hash family is h1 + seed·h2),
-    then a stack() unpivot to the (doc_id, seed, minhash) signature shape."""
+def _minhash_wide(d: DataFrame) -> DataFrame:
+    """One row per doc with all k minima (_m0.._m{k-1}) from ONE aggregation
+    pass over the shingle explode (no ×k row blow-up). The two 48-bit hash
+    halves are PROJECTED once per shingle before the aggregate — as inline
+    sub-expressions of the 8 min() updates they relied on codegen CSE to
+    avoid 16 md5 evaluations per row; a named column makes the single
+    evaluation structural (round-6 change, guide §2.3 narrow-the-bytes)."""
     sh = _shingles_spark(d)
-    h1 = _h48(F.col("shingle"))
-    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 13, 12), 16, 10).cast(
-        "long"
-    ).bitwiseOR(F.lit(1))
-    wide = sh.groupBy("doc_id").agg(
-        *[F.min(h1 + F.lit(s) * h2).alias(f"_m{s}") for s in range(_N_MINHASH)]
+    hashed = sh.select(
+        "doc_id",
+        _h48(F.col("shingle")).alias("_h1"),
+        F.conv(F.substring(F.md5(F.col("shingle")), 13, 12), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+        .alias("_h2"),
     )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("_h1") + F.lit(s) * F.col("_h2")).alias(f"_m{s}")
+            for s in range(_N_MINHASH)
+        ]
+    )
+
+
+def _minhash_spark(d: DataFrame) -> DataFrame:
+    """(doc_id, seed, minhash) signature shape: `_minhash_wide` + a stack()
+    unpivot."""
+    wide = _minhash_wide(d)
     stack_expr = "stack({n}, {args}) as (seed, minhash)".format(
         n=_N_MINHASH,
         args=", ".join(f"{s}, _m{s}" for s in range(_N_MINHASH)),
@@ -376,35 +405,63 @@ def dd3_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH: 4 bands × 2 rows — candidate pairs are docs sharing any
-    band key. The join key is the (band, band_key) bucket, so candidate
-    generation is linear in docs, not quadratic."""
-    mh = _minhash_spark(load_table(spark, sf_dir, "documents"))
-    bands = (
-        mh.withColumn("band", (F.col("seed") / 2).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
+    band key. Round-6 restructure (guide §2.4 / §3.3): the old self-join on
+    (band, band_key) built the whole tokenize→shingle→minhash pipeline TWICE
+    (once per join side — AQE could only reuse the exchanges, not the band
+    aggregation), and the band keys themselves went through a stack-unpivot
+    + a second ObjectHashAggregate. Now the band keys are computed directly
+    from the one-row-per-doc `_minhash_wide` output — sorted-by-seed concat
+    of each band's two minima, byte-identical md5 input to the old
+    sort+transform over collected (seed, minhash) structs — and candidate
+    pairs come from posting lists per (band, band_key), dd2-style: one
+    shuffle groups each bucket's doc list, pairs are in-row combinations
+    (doc_a < doc_b by the sorted list), cross-band duplicates drop in the
+    final distinct. One pass over the documents instead of two, two
+    ObjectHashAggregates and the broadcast build removed. Pair fan-out per
+    bucket is n·(n-1)/2 exactly as the old join's — the bucket IS the
+    candidate set either way."""
+    wide = _minhash_wide(load_table(spark, sf_dir, "documents"))
+    n_bands = _N_MINHASH // 2
+    keyed = wide.select(
+        "doc_id",
+        *[
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                    F.col(f"_m{2 * b}").cast("string"),
+                    F.col(f"_m{2 * b + 1}").cast("string"),
                 )
-            ).alias("band_key")
-        )
+            ).alias(f"_k{b}")
+            for b in range(n_bands)
+        ],
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    stack_expr = "stack({n}, {args}) as (band, band_key)".format(
+        n=n_bands,
+        args=", ".join(f"CAST({b} AS BIGINT), _k{b}" for b in range(n_bands)),
+    )
+    bands = keyed.select("doc_id", F.expr(stack_expr))
+    grouped = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("docs"), i + 2, F.size("docs")),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -443,17 +500,22 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, simhash): tf-weighted 32-bit SimHash.
 
     All 32 signed bit-sums come out of ONE wide aggregation over the
-    (doc, token, tf) table — no ×32 bit explode, one shuffle fewer than the
-    round-2 formulation (which spent 4.5-5 s at sf0.1 on 16M pre-agg rows;
-    this runs the same 0.5M token rows once). Integer math throughout, so
-    the unordered sums are exact and the DuckDB oracle (which still uses the
-    readable explode form) matches bit-for-bit."""
-    tok = (
-        d.select("doc_id", F.explode(_TOKENS_SPARK(F.col("text"))).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("th", _h48(F.col("token")))
-    )
+    (doc, token) occurrence stream — no ×32 bit explode, and since round 6
+    no (doc, token) tf pre-aggregation either: the tf-weighted sum over
+    DISTINCT tokens is algebraically the plain ±1 sum over OCCURRENCES
+    (Σ_distinct tf·sign ≡ Σ_occurrences sign — integer, order-independent,
+    so bit-for-bit what the tf form produced), which deletes a full
+    5M-row (doc_id, token) shuffle + two hash aggregates from the plan
+    (2 Exchange → 1; guide §2.4). The one md5 per occurrence happens in a
+    projection; the 32 partial sums combine map-side. The DuckDB oracle
+    keeps the readable tf-explode form — same sums by the identity above."""
+    # spread docs across slots first: the single-row-group documents scan
+    # would otherwise run the explode + per-occurrence md5 + 32 partial
+    # sums in ONE task now that no (doc, token) shuffle follows them
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    tok = d.select(
+        "doc_id", F.explode(_TOKENS_SPARK(F.col("text"))).alias("token")
+    ).select("doc_id", _h48(F.col("token")).alias("th"))
     # expression-construction discipline (CLAUDE.md r4): built with the
     # Column API these 32 aggregates plus the 32-term assembly cost ~0.8 s
     # of py4j chatter per fresh query build; as parser-side expr strings the
@@ -462,7 +524,7 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
         *[
             F.expr(
                 f"sum(CASE WHEN (shiftright(th, {b}) & 1) = 1"
-                f" THEN tf ELSE -tf END) AS _s{b}"
+                f" THEN 1L ELSE -1L END) AS _s{b}"
             )
             for b in range(_N_SIMHASH_BITS)
         ]
