@@ -68,6 +68,11 @@ SELECT_ORDER = ORDER_KEY + ["url"]
 # pending set sorts in N_SALT_PARTS parallel bounded tasks instead of one
 N_SALT_PARTS = 16
 
+_FRONTIER_SCHEMA = (
+    "priority int, disc_epoch int, seed_idx int, page_idx int, pos int,"
+    " kind string, url string, host string"
+)
+
 
 @dataclass
 class CrawlResult:
@@ -232,11 +237,68 @@ def _seed_frontier(spark: SparkSession, spec: SiteSpec) -> DataFrame:
     )
 
 
+def _init_state_driver(spec: SiteSpec, ckpt: str, filter_kind: str) -> None:
+    """Epoch-0 state generated driver-side for SMALL seed sets (≤ the
+    driver-commit gate): the distributed init cost ~6 Spark jobs (~1.5-2 s
+    of fixed latency) to materialize a few hundred deterministic rows that
+    pure Python produces in microseconds from the same site_model
+    functions. Value-identical: same seed tuples, same keep-first dedup
+    (min (priority, disc_epoch, seed_idx, page_idx, pos) per url — the
+    window the distributed path ranks by), same tables and types."""
+    import pyarrow as pa
+
+    best: dict = {}
+    for i in range(spec.n_seeds):
+        key = (sm.seed_priority(spec, i), 0, i, 1, -1)
+        url = sm.seed_url(spec, i)
+        if key < best.get(url, (2**31, 0, 0, 0, 0)):
+            best[url] = key
+    rows = [
+        {
+            "priority": k[0], "disc_epoch": k[1], "seed_idx": k[2],
+            "page_idx": k[3], "pos": k[4], "kind": "list", "url": u,
+            "host": sm.seed_host(spec, k[2]), "url_hash": sm.h64(u),
+        }
+        for u, k in sorted(best.items())
+    ]
+    _write_frontier_tables_local(ckpt, 0, rows, write_seen_new=True)
+    hosts = sorted({r["host"] for r in rows})
+    politeness = pa.Table.from_arrays(
+        [
+            pa.array(hosts, type=pa.string()),
+            pa.array([float(spec.burst)] * len(hosts), type=pa.float64()),
+        ],
+        names=["host", "tokens"],
+    )
+    ck.write_table_local(ckpt, 0, "politeness", politeness)
+    robots = pa.Table.from_arrays(
+        [
+            pa.array(hosts, type=pa.string()),
+            pa.array(
+                [sm.robots_disallows(spec, h) for h in hosts],
+                type=pa.list_(pa.string()),
+            ),
+        ],
+        names=["host", "disallow_prefixes"],
+    )
+    ck.write_table_local(ckpt, 0, "robots", robots)
+    bf = _make_seen_filter(filter_kind, _bloom_expected(spec))
+    bf.add_many(
+        np.fromiter((r["url_hash"] for r in rows), dtype=np.int64, count=len(rows))
+    )
+    bf.save(os.path.join(ck.epoch_dir(ckpt, 0), "bloom.npz"))
+    ck.commit_epoch(ckpt, 0, {"n_seeds": len(rows), "kind": "init"})
+
+
 def init_state(
     spark: SparkSession, spec: SiteSpec, ckpt: str, filter_kind: str = "bloom"
 ) -> None:
     """Epoch-0 state: seed frontier, seen=seeds, politeness=burst, robots,
-    seen-filter seeded with the seed URLs. All generated as Spark jobs."""
+    seen-filter seeded with the seed URLs. Small seed sets commit
+    driver-side (`_init_state_driver`); larger ones as Spark jobs."""
+    if spec.n_seeds <= _DRIVER_COMMIT_MAX_ROWS:
+        _init_state_driver(spec, ckpt, filter_kind)
+        return
     frontier = _seed_frontier(spark, spec)
     ck.write_table(frontier.select(*FRONTIER_COLS), ckpt, 0, "frontier")
     ck.write_table(
@@ -278,7 +340,13 @@ def init_state(
     ck.commit_epoch(ckpt, 0, {"n_seeds": frontier.count(), "kind": "init"})
 
 
-_MIN_URLS_PER_FETCH_TASK = 4  # drain-epoch floor; 2× slots still caps above
+# Fetch-task sizing floor: at ~2 ms of codec work per URL and ~10 ms of
+# fixed per-task cost (schedule + Arrow round-trip + commit), a task below
+# ~32 URLs spends more on overhead than fetching — the round-6 A/B read the
+# small-site crawl at 10.3 s with floor 4 vs 7.3 s with floor 32 (fetch
+# phase 4.8 → 2.3 s). The 2×-slots cap above still binds at scale, so the
+# big-epoch plan is unchanged.
+_MIN_URLS_PER_FETCH_TASK = 32
 
 _HOST_COUNTS_SCHEMA = "host string, n_pending bigint"
 
@@ -443,6 +511,255 @@ def _filter_add_from_df(flt, hashes_df: DataFrame, n_rows: int | None = None) ->
         _bloom_add_from_df(flt, hashes_df, n_rows)
 
 
+# Full-row collect gate for the small-epoch driver commit: an admission
+# batch this small (≤2^18 rows ≈ 50 MB of ~200 B link rows) is collected to
+# the driver in ONE job and the four next-epoch state tables (frontier,
+# host_counts, politeness, seen_new) are written with write_table_local —
+# replacing four Spark write jobs (plus their join/shuffle stages) whose
+# fixed latencies dominated the small-site epoch (r6 phase profile:
+# state_writes 1.1-1.4 s of a ~2.9 s epoch). Large admission batches keep
+# the distributed write path unchanged — at 10^8-row epochs the gate never
+# passes and nothing collects. The admission SEMANTICS (route filter,
+# robots, keep-first, bloom prefilter, exact anti-join) stay in Spark
+# either way; only the final materialization moves.
+_DRIVER_COMMIT_MAX_ROWS = 1 << 18
+
+
+def _py_url_path(url: str) -> str:
+    """Python mirror of functions.urls.url_path (parse_url(url, 'PATH')):
+    the path component without query/fragment, '/' when absent. Exactness
+    matters only up to prefix matching against the robots table — both
+    forms agree on every prefix test for scheme://host/path[?query] URLs."""
+    rest = url.split("//", 1)[1] if "//" in url else url
+    slash = rest.find("/")
+    if slash == -1:
+        return "/"
+    path = rest[slash:]
+    for sep in ("?", "#"):
+        k = path.find(sep)
+        if k != -1:
+            path = path[:k]
+    return path or "/"
+
+
+def _seen_rows_small(ckpt: str, upto_epoch: int, cap: int) -> bool:
+    """True iff the exact seen view's input rows total ≤ cap (parquet
+    footer counts only — no reads)."""
+    total = 0
+    for e in range(upto_epoch + 1):
+        for t in ("seen_new", "seen_removed"):
+            if os.path.isdir(ck.table_path(ckpt, e, t)):
+                total += ck.table_num_rows(ckpt, e, t)
+                if total > cap:
+                    return False
+    return True
+
+
+def _seen_view_local(ckpt: str, upto_epoch: int) -> set:
+    """`_seen_view` as a driver-side url set (callers gate the size via
+    `_seen_rows_small`): union of per-epoch seen_new MINUS expiry
+    tombstones, a url surviving iff some seen row's admit_epoch exceeds its
+    latest removal — term-for-term the DataFrame view's semantics."""
+    removed: dict = {}
+    for e in range(upto_epoch + 1):
+        if os.path.isdir(ck.table_path(ckpt, e, "seen_removed")):
+            cols = ck.read_columns_local(
+                ckpt, e, "seen_removed", ["url", "removed_epoch"],
+                _DRIVER_ADD_MAX_ROWS,
+            )
+            for u, r in zip(cols["url"], cols["removed_epoch"]):
+                ri = int(r)
+                if removed.get(u, -1) < ri:
+                    removed[u] = ri
+    seen: set = set()
+    for e in range(upto_epoch + 1):
+        if not os.path.isdir(ck.table_path(ckpt, e, "seen_new")):
+            continue
+        cols = ck.read_columns_local(
+            ckpt, e, "seen_new", ["url", "admit_epoch"], _DRIVER_ADD_MAX_ROWS
+        )
+        if not removed:
+            seen.update(cols["url"].tolist())
+        else:
+            for u, a in zip(cols["url"], cols["admit_epoch"]):
+                r = removed.get(u)
+                if r is None or int(a) > r:
+                    seen.add(u)
+    return seen
+
+
+def _admit_links_driver(
+    ckpt: str, epoch: int, out_epoch: int, fetch_out_path: str
+) -> list:
+    """The admission pipeline (route filter → robots → keep-first → exact
+    seen anti-join) over a SMALL discovered-link batch, driver-side — the
+    same four steps the distributed path runs, mirrored operation for
+    operation (the callers' gates bound both the link batch and the seen
+    view). Returns admitted rows as dicts carrying FRONTIER_COLS +
+    url_hash, sorted by url (unique after keep-first) so downstream writes
+    are deterministic.
+
+    Semantics mirrored exactly: route drop is `kind != 'list' AND (route
+    missing OR unknown)`; robots drops when the host's disallow_prefixes
+    prefix-match the url path (hosts absent from the robots table pass);
+    keep-first takes the minimum (priority, disc_epoch, seed_idx, page_idx,
+    pos, kind, host) struct per url (disc_epoch is constant out_epoch across
+    the batch, string comparisons are ASCII so Python tuple order ==
+    Spark's UTF8 binary struct order); the anti-join is exact (a Bloom
+    prefilter adds nothing driver-side — set membership IS the exact
+    test)."""
+    import pyarrow.parquet as pq
+
+    robots_cols = ck.read_columns_local(
+        ckpt, 0, "robots", ["host", "disallow_prefixes"], _DRIVER_ADD_MAX_ROWS
+    )
+    robots = {
+        h: list(p) if p is not None else None
+        for h, p in zip(robots_cols["host"], robots_cols["disallow_prefixes"])
+    }
+    seen = _seen_view_local(ckpt, epoch)
+
+    link_dir = os.path.join(fetch_out_path, "row_type=link")
+    cols = [
+        "priority", "disc_epoch", "seed_idx", "page_idx", "pos",
+        "kind", "url", "host", "route",
+    ]
+    best: dict = {}
+    for fn in sorted(os.listdir(link_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(link_dir, fn), columns=cols)
+        d = {c: t.column(c).to_pylist() for c in cols}
+        for prio, seed_idx, page_idx, pos, kind, url, host, route in zip(
+            d["priority"], d["seed_idx"], d["page_idx"], d["pos"],
+            d["kind"], d["url"], d["host"], d["route"],
+        ):
+            if kind != "list" and (route is None or route == sm.ROUTE_UNKNOWN):
+                continue
+            prefixes = robots.get(host)
+            if prefixes:
+                path = _py_url_path(url)
+                if any(path.startswith(p) for p in prefixes):
+                    continue
+            key = (prio, out_epoch, seed_idx, page_idx, pos, kind, host)
+            cur = best.get(url)
+            if cur is None or key < cur:
+                best[url] = key
+    admitted = []
+    for url in sorted(best):
+        if url in seen:
+            continue
+        prio, de, seed_idx, page_idx, pos, kind, host = best[url]
+        admitted.append(
+            {
+                "priority": prio, "disc_epoch": de, "seed_idx": seed_idx,
+                "page_idx": page_idx, "pos": pos, "kind": kind, "url": url,
+                "host": host, "url_hash": sm.h64(url),
+            }
+        )
+    return admitted
+
+
+def _commit_small_epoch_state(
+    ckpt: str,
+    epoch: int,
+    out_epoch: int,
+    spec: SiteSpec,
+    adm_rows: list,
+    write_seen_new: bool = True,
+) -> None:
+    """Driver-side materialization of the four next-epoch state tables from
+    an already-collected admission batch, on the UNCONSTRAINED fast path
+    only (selected == whole frontier ⇒ remaining is empty, per-host taken
+    == pending). Value-identical to the distributed writes it replaces:
+    same politeness token arithmetic term-for-term (tokens − taken + refill,
+    capped at burst, full-outer over active hosts), same next host_counts
+    (pending − taken + admitted, zeros dropped ⇒ admitted counts by host),
+    same row sets with explicitly matched parquet types (int32 frontier
+    keys — cross-epoch unions require it). Deterministic row order (sorted
+    by url / host) keeps resume replay byte-identical."""
+    import pyarrow as pa
+
+    hc = ck.read_columns_local(
+        ckpt, epoch, "host_counts", ["host", "n_pending"], _DRIVER_ADD_MAX_ROWS
+    )
+    pol = ck.read_columns_local(
+        ckpt, epoch, "politeness", ["host", "tokens"], _DRIVER_ADD_MAX_ROWS
+    )
+    taken = {h: int(n) for h, n in zip(hc["host"], hc["n_pending"])}
+    tokens = {h: float(t) for h, t in zip(pol["host"], pol["tokens"])}
+    refill = float(spec.rate_per_sec * spec.epoch_seconds)
+    burst = float(spec.burst)
+    # _advance_politeness mirror (active = hosts with pending this epoch):
+    # identical float64 expression shape: min(burst, (tokens - taken) + refill)
+    new_tokens = {}
+    for h in set(tokens) | set(taken):
+        base = tokens.get(h, burst)
+        if h in taken:
+            base = min(burst, base - float(taken[h]) + refill)
+        new_tokens[h] = base
+    _write_frontier_tables_local(ckpt, out_epoch, adm_rows, write_seen_new)
+
+    pol_sorted = sorted(new_tokens)
+    politeness = pa.Table.from_arrays(
+        [
+            pa.array(pol_sorted, type=pa.string()),
+            pa.array([new_tokens[h] for h in pol_sorted], type=pa.float64()),
+        ],
+        names=["host", "tokens"],
+    )
+    ck.write_table_local(ckpt, out_epoch, "politeness", politeness)
+
+
+def _write_frontier_tables_local(
+    ckpt: str, out_epoch: int, rows: list, write_seen_new: bool
+) -> None:
+    """frontier + host_counts (+ seen_new) for ``out_epoch`` from
+    driver-held frontier rows (dicts with FRONTIER_COLS + url_hash), with
+    types matched to the distributed writers (int32 frontier keys)."""
+    import pyarrow as pa
+
+    int_cols = {"priority", "disc_epoch", "seed_idx", "page_idx", "pos"}
+    fr_schema = pa.schema(
+        [
+            (c, pa.int32() if c in int_cols else pa.string())
+            for c in FRONTIER_COLS
+        ]
+    )
+    frontier = pa.Table.from_arrays(
+        [
+            pa.array([r[c] for r in rows], type=fr_schema.field(c).type)
+            for c in FRONTIER_COLS
+        ],
+        schema=fr_schema,
+    )
+    ck.write_table_local(ckpt, out_epoch, "frontier", frontier)
+
+    if write_seen_new:  # zero-discovery epochs commit no seen_new table
+        seen_new = pa.Table.from_arrays(
+            [
+                pa.array([r["url"] for r in rows], type=pa.string()),
+                pa.array([r["url_hash"] for r in rows], type=pa.int64()),
+                pa.array([out_epoch] * len(rows), type=pa.int32()),
+            ],
+            names=["url", "url_hash", "admit_epoch"],
+        )
+        ck.write_table_local(ckpt, out_epoch, "seen_new", seen_new)
+
+    n_by_host: dict[str, int] = {}
+    for r in rows:
+        n_by_host[r["host"]] = n_by_host.get(r["host"], 0) + 1
+    hosts_sorted = sorted(n_by_host)
+    host_counts = pa.Table.from_arrays(
+        [
+            pa.array(hosts_sorted, type=pa.string()),
+            pa.array([n_by_host[h] for h in hosts_sorted], type=pa.int64()),
+        ],
+        names=["host", "n_pending"],
+    )
+    ck.write_table_local(ckpt, out_epoch, "host_counts", host_counts)
+
+
 # Below this many admitted URLs the seen-filter add runs driver-side from
 # the just-written seen_new parquet (≤8 MB of int64 hashes — same bound as
 # expire_seen's chunks) instead of launching a Spark job: the distributed
@@ -603,9 +920,19 @@ def run_epoch(
         phases[name] = round((now - _t) * 1000.0, 1)
         _t = now
 
-    frontier = ck.read_table(spark, ckpt, epoch, "frontier").persist()
-    politeness = ck.read_table(spark, ckpt, epoch, "politeness")
-    robots = ck.read_table(spark, ckpt, 0, "robots")
+    # explicit schemas: spark.read.parquet without one EAGERLY lists the
+    # dir and reads a footer for inference (~50-60 ms of py4j/JVM latency
+    # per table per epoch — the bulk of the round-6 plan phase); the
+    # schemas are ours and fixed. The robots read moved into the one branch
+    # that uses it (distributed admission).
+    frontier = (
+        spark.read.schema(_FRONTIER_SCHEMA)
+        .parquet(ck.table_path(ckpt, epoch, "frontier"))
+        .persist()
+    )
+    politeness = spark.read.schema("host string, tokens double").parquet(
+        ck.table_path(ckpt, epoch, "politeness")
+    )
     out_epoch = epoch + 1
     # a frontier host missing from the politeness table (discovered this
     # run) starts with a fresh bucket — floor(burst), exactly what
@@ -642,6 +969,9 @@ def run_epoch(
         # in the plan phase); large ones fall through to the aggregate
         stats = _pending_stats_local(ckpt, epoch, default_budget)
     host_counts = host_counts.persist()
+    # small host/politeness tables read driver-side ⇒ the commit fast path
+    # below may also run driver-side (same bounded-local gate)
+    stats_local = stats is not None
     if stats is None:
         pending_stats = (
             host_counts.join(F.broadcast(budgets), "host", "left")
@@ -805,15 +1135,26 @@ def run_epoch(
     _mark("links_probe")
 
     if n_links == 0:
-        _write_tables_concurrently(
-            ckpt,
-            out_epoch,
-            [
-                (remaining, "frontier"),
-                (_next_host_counts(host_counts, taken, None), "host_counts"),
-                (_advance_politeness(spec, politeness, active, taken), "politeness"),
-            ],
-        )
+        if stats_local and constrained == 0:
+            # pure-payload fast-path epoch (steady state, drain): remaining
+            # is empty and taken == pending, so the three next-state tables
+            # are tiny and fully driver-computable — same writes, no jobs
+            _commit_small_epoch_state(
+                ckpt, epoch, out_epoch, spec, [], write_seen_new=False
+            )
+        else:
+            _write_tables_concurrently(
+                ckpt,
+                out_epoch,
+                [
+                    (remaining, "frontier"),
+                    (_next_host_counts(host_counts, taken, None), "host_counts"),
+                    (
+                        _advance_politeness(spec, politeness, active, taken),
+                        "politeness",
+                    ),
+                ],
+            )
         _mark("state_writes")
         flt = None
         if use_bloom:
@@ -840,6 +1181,70 @@ def run_epoch(
         frontier.unpersist()
         return n_frontier, n_selected
 
+    # small-epoch driver commit (round 6): when the carried counts were
+    # already read locally, selection was unconstrained (remaining empty,
+    # taken == pending) and both the link batch and the seen view fit the
+    # bounded-local gates, the whole admission pipeline AND all four state
+    # writes run driver-side — zero Spark jobs between fetch and commit
+    # (the r6 phase profile put ~2 s of the ~2.9 s small epoch in the
+    # admission job + state-write jobs' fixed latencies). Semantics are
+    # mirrored operation-for-operation (_admit_links_driver /
+    # _commit_small_epoch_state); large epochs take the distributed path
+    # below unchanged.
+    if (
+        stats_local
+        and constrained == 0
+        and n_links <= _DRIVER_COMMIT_MAX_ROWS
+        and _seen_rows_small(ckpt, epoch, _DRIVER_ADD_MAX_ROWS)
+    ):
+        adm_rows = _admit_links_driver(ckpt, epoch, out_epoch, fetch_out_path)
+        n_admitted = len(adm_rows)
+        _mark("admission")
+        _commit_small_epoch_state(ckpt, epoch, out_epoch, spec, adm_rows)
+        _mark("state_writes")
+        bf = None
+        if use_bloom:
+            bf = _load_seen_filter(
+                os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz")
+            )
+            if n_admitted > 0:
+                if (
+                    isinstance(bf, CuckooFilter)
+                    and len(bf) + n_admitted > _CUCKOO_GROW_LOAD * bf.capacity
+                ):
+                    # seen_new for this epoch is already written above, so
+                    # the rebuild covers the batch too
+                    bf = _grow_cuckoo(
+                        spark, ckpt, out_epoch, bf, len(bf) + n_admitted
+                    )
+                else:
+                    bf.add_many(
+                        np.fromiter(
+                            (r["url_hash"] for r in adm_rows),
+                            dtype=np.int64,
+                            count=n_admitted,
+                        )
+                    )
+            bf.save(os.path.join(ck.epoch_dir(ckpt, out_epoch), "bloom.npz"))
+        filter_load = _seen_filter_load(bf)  # inside the timed phase
+        _mark("bloom")
+        ck.commit_epoch(
+            ckpt,
+            out_epoch,
+            {
+                "processed_epoch": epoch,
+                "urls_fetched": n_selected,
+                "urls_admitted": n_admitted,
+                "crawl_log_from_frontier": log_is_frontier,
+                "seen_filter_load": filter_load,
+                "phase_ms": phases,
+            },
+        )
+        for df in epoch_cache:
+            df.unpersist()
+        frontier.unpersist()
+        return n_frontier, n_selected
+
     # ---- admission: route filter → robots → keep-first → bloom+anti-join
     # (explicit schema: skips inference listing; pure-payload epochs above
     # never open the directory at all)
@@ -852,6 +1257,7 @@ def run_epoch(
     links = links.filter(
         (F.col("kind") == "list") | (F.col("route") != sm.ROUTE_UNKNOWN)
     ).drop("route")
+    robots = ck.read_table(spark, ckpt, 0, "robots")
     links = (
         links.join(F.broadcast(robots), "host", "left")
         .withColumn("_path", url_path("url"))
@@ -878,15 +1284,15 @@ def run_epoch(
     if use_bloom:
         bf = _load_seen_filter(os.path.join(ck.epoch_dir(ckpt, epoch), "bloom.npz"))
         cand = cand.withColumn("_maybe", _seen_filter_udf(bf)("url_hash")).persist()
+        epoch_cache.append(cand)
         definite_new = cand.filter(~F.col("_maybe")).drop("_maybe")
         suspect = cand.filter(F.col("_maybe")).drop("_maybe")
-        admitted = definite_new.unionByName(
-            suspect.join(seen, "url", "left_anti")
-        ).persist()
+        admitted = definite_new.unionByName(suspect.join(seen, "url", "left_anti"))
     else:
         bf = None
-        admitted = cand.join(seen, "url", "left_anti").persist()
+        admitted = cand.join(seen, "url", "left_anti")
 
+    admitted = admitted.persist()
     _mark("admission")
 
     # ---- commit next state. `admitted` is persisted but NOT
@@ -950,8 +1356,6 @@ def run_epoch(
     for df in epoch_cache:
         df.unpersist()
     frontier.unpersist()
-    if use_bloom:
-        cand.unpersist()
     admitted.unpersist()
     return n_frontier, n_selected
 

@@ -46,13 +46,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    ArrayType,
-    DoubleType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from ..sources.tables import load_table
 from .registry import register
@@ -84,12 +78,12 @@ def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cosine(a, b):
     """Cosine as interpreted higher-order fns — the semantic REFERENCE the
-    vectorized scorers (`_cos_seq_udf`, `_pair_scores_udf`) are pinned
+    vectorized scorers (`_cos_seq_udf`, `_score_members`) are pinned
     bit-identical to in tests/test_ann_recall.py. Used directly by ml1,
     where the pair rows already exist (BNLJ output) and shipping 2×64
     floats per pair through Arrow costs more CPU than the ~16 µs/pair
     lambda interpreter saves (measured, `BENCH/raw_r5/ab_cpu.jsonl`); the
-    bucketed paths score BEFORE exploding instead (`_pair_scores_udf`)."""
+    bucketed paths score BEFORE exploding instead (`_score_members`)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -126,56 +120,55 @@ def _cos_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (na * nb))
 
 
-_PAIR_STRUCT = StructType(
-    [
-        StructField("a_id", LongType()),
-        StructField("b_id", LongType()),
-        StructField("sim", DoubleType()),
-    ]
-)
+# pair-slice width for the per-bucket triu scoring: bounds the transient
+# A/B/A·B float64 blocks at ~3 × 64k × 64 × 8 B ≈ 100 MB per python worker
+# even at the _MAX_BUCKET=1000 cap (~500k pairs), where the unchunked round-5
+# loop materialized ~1.25 GB per bucket (round-5 ADVICE). Slicing along the
+# pair axis cannot change any pair's value — each row's fold is independent.
+_PAIR_CHUNK = 1 << 16
+
+_PAIR_OUT_SCHEMA = "a_id long, b_id long, sim double"
+_EMPTY_PAIRS = {
+    "a_id": np.empty(0, dtype=np.int64),
+    "b_id": np.empty(0, dtype=np.int64),
+    "sim": np.empty(0, dtype=np.float64),
+}
 
 
-@F.pandas_udf(ArrayType(_PAIR_STRUCT))
-def _pair_scores_udf(vs: pd.Series) -> pd.Series:
-    """One LSH bucket's member list in → every scored pair (a_id < b_id,
-    unrounded sim) out. This is the round-5 replacement for scoring pairs
-    AFTER the explode: there, each embedding crossed the Arrow boundary once
-    per pair it participates in (m·(m−1) copies per m-member bucket — the
-    per-pair duplication measured as +1.6 CPU-s on ml3 and nearly 2× CPU on
-    ml1's BNLJ in BENCH/raw_r5/ab_cpu.jsonl); here each member crosses ONCE
-    and pairs come back as three scalars. The cosine is the same
-    fold-exact `np.add.accumulate` recipe as `_cos_seq_udf` (bit-identical
-    to `_cosine`'s interpreted left-fold, so DuckDB oracle parity holds by
-    construction); rounding stays JVM-side (`F.round` after the explode),
-    unchanged from every prior round. Buckets are `_MAX_BUCKET`-capped by
-    the caller, so per-row work is bounded."""
-    out = []
-    for members in vs:
-        m = len(members)
-        if m < 2:
-            out.append([])
-            continue
-        ids = np.fromiter(
-            (mm["vec_id"] for mm in members), dtype=np.int64, count=m
-        )
-        E = np.stack(
-            [np.asarray(mm["embedding"]) for mm in members]
-        ).astype(np.float64)
-        order = np.argsort(ids, kind="stable")
-        ids, E = ids[order], E[order]
-        i, j = np.triu_indices(m, 1)
-        A, B = E[i], E[j]
-        dot = np.add.accumulate(A * B, axis=1)[:, -1]
-        na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
-        nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
-        sim = dot / (na * nb)
-        out.append(
-            [
-                {"a_id": int(ids[a]), "b_id": int(ids[b]), "sim": float(s)}
-                for a, b, s in zip(i, j, sim)
-            ]
-        )
-    return pd.Series(out, dtype=object)
+def _score_members(ids: np.ndarray, E: np.ndarray) -> pd.DataFrame:
+    """One LSH bucket's members (ids, float64 embedding matrix) → every
+    scored pair (a_id < b_id, unrounded sim) as a 3-column DataFrame.
+    Round-5 topology (each member crosses the Arrow boundary ONCE; scoring
+    pairs after the explode shipped every embedding once per pair — measured
+    +1.6 CPU-s on ml3, BENCH/raw_r5/ab_cpu.jsonl), with the round-6 fixes:
+
+    - each member's norm fold runs once (indexed into the pair slices)
+      instead of once per pair — the same float64 values, so bit-exactness
+      is untouched;
+    - pair slices are `_PAIR_CHUNK`-bounded (memory, round-5 ADVICE);
+    - output is three numpy columns, never per-pair Python objects (the
+      round-5 array-of-struct return built ~3M dicts per sf1.0 run — the
+      dominant ml3 CPU term in the round-6 profile).
+
+    The cosine stays the fold-exact `np.add.accumulate` recipe, bit-identical
+    to `_cosine`'s interpreted left-fold (DuckDB parity by construction);
+    rounding stays JVM-side (`F.round` on the result), unchanged. Sorts by
+    vec_id itself so a_id < b_id holds regardless of input order."""
+    m = len(ids)
+    if m < 2:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    order = np.argsort(ids, kind="stable")
+    ids, E = ids[order], E[order]
+    # per-member norms: identical float64 sequence to the per-pair fold
+    norms = np.sqrt(np.add.accumulate(E * E, axis=1)[:, -1])
+    i, j = np.triu_indices(m, 1)
+    sim = np.empty(len(i), dtype=np.float64)
+    for s in range(0, len(i), _PAIR_CHUNK):
+        sl = slice(s, s + _PAIR_CHUNK)
+        isl, jsl = i[sl], j[sl]
+        dot = np.add.accumulate(E[isl] * E[jsl], axis=1)[:, -1]
+        sim[sl] = dot / (norms[isl] * norms[jsl])
+    return pd.DataFrame({"a_id": ids[i], "b_id": ids[j], "sim": sim})
 
 
 @register(
@@ -206,20 +199,46 @@ def ml1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a CPU-second A/B measured at ~1.8× the total CPU of the interpreted
     JVM fold (`BENCH/raw_r5/ab_cpu.jsonl`). The bounded 50-row broadcast
     side keeps the interpreted cost small; the bucketed paths (ml3/dd6)
-    batch whole buckets instead — see `_pair_scores_udf`."""
+    batch whole buckets instead — see `_score_members`.
+
+    Round 6: each side's norm fold is projected BELOW the join (once per
+    row: 50 + n folds) instead of inside the per-pair expression (2·50·n
+    folds) — the interpreted work per pair drops from three 64-element
+    folds to one (the dot). The norm is the identical `F.aggregate`
+    expression over the identical row, so `dot / (na · nb)` consumes
+    bit-identical doubles and the rounded sim is unchanged."""
     e = _load_embeddings(spark, sf_dir)
-    a = e.alias("a")
-    b = e.alias("b")
-    sim = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    a = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("_ea"),
+        norm.alias("_na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_eb"),
+        norm.alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_ea"),
+            F.col("_eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(dot / (F.col("_na") * F.col("_nb")), 6)
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        a.filter(F.col("a.vec_id") < 50)
-        .join(b, F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("q_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            sim.alias("sim"),
-        )
+        a.join(b, F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .drop("rn")
@@ -355,30 +374,38 @@ def ml3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFrame:
     """(vec_id, embedding) → unordered candidate pairs (a_id < b_id, sim)
     from multi-band LSH buckets, posting-list style: ONE shuffle groups each
-    (band, bucket)'s members (embedding carried in the struct), then the
-    whole bucket batches through `_pair_scores_udf` — each member crosses
-    the Arrow boundary ONCE and every pair's fold-exact cosine comes back as
-    three scalars (no per-pair embedding duplication in-stage, no self-join,
-    no distinct-shuffle, no embedding re-join; the UDF sorts members by
-    vec_id so a_id < b_id deterministically). Rounding stays JVM-side so the
-    DuckDB comparison semantics are unchanged. Pairs found by several bands
-    are deduped by the caller's groupBy."""
+    (band, bucket)'s members, then the whole bucket batches through
+    `_score_members` — each member crosses the Arrow boundary ONCE and every
+    pair's fold-exact cosine comes back as three scalars (no per-pair
+    embedding duplication in-stage, no self-join, no distinct-shuffle, no
+    embedding re-join). Round 6: the grouping is `applyInPandas` instead of
+    collect_list(struct) + a pandas UDF over the array — the members arrive
+    as plain Arrow columns (no per-member struct dicts on the Python side,
+    no ObjectHashAggregate building 80k member structs on the JVM side) and
+    the pairs leave as plain columns (no arrays_zip/explode). The
+    `max_bucket` cap moves inside the group function: a group larger than
+    the cap returns no pairs — exactly what the pre-filter produced.
+    Rounding stays JVM-side so the DuckDB comparison semantics are
+    unchanged. Pairs found by several bands are deduped by the caller's
+    groupBy."""
     exploded = e.select(
         "vec_id",
         "embedding",
         F.posexplode(F.slice(_bucket_udf("embedding"), 1, n_bands)),
     ).withColumnsRenamed({"pos": "band", "col": "bucket"})
-    grouped = exploded.groupBy("band", "bucket").agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("vs")
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2 or (max_bucket is not None and len(pdf) > max_bucket):
+            return pd.DataFrame(_EMPTY_PAIRS)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return _score_members(ids, E)
+
+    pairs = exploded.groupBy("band", "bucket").applyInPandas(
+        score, schema=_PAIR_OUT_SCHEMA
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("vs") <= max_bucket)
-    return grouped.select(
-        F.explode(_pair_scores_udf("vs")).alias("p")
-    ).select(
-        "p.a_id",
-        "p.b_id",
-        F.round(F.col("p.sim"), 6).alias("sim"),
+    return pairs.select(
+        "a_id", "b_id", F.round(F.col("sim"), 6).alias("sim")
     )
 
 
@@ -386,11 +413,16 @@ def ann_lsh_topk(
     spark: SparkSession, sf_dir: str, k: int = _TOP_K, n_bands: int = _N_BANDS
 ) -> DataFrame:
     """Composed ANN scale path: multi-band posting-list pair generation →
-    per-band dedup (max over identical sims) → within-candidate cosine rank.
-    Three shuffles total: bucket group, pair dedup, top-k window."""
+    cross-band dedup (max over identical sims) → within-candidate cosine
+    rank. Three shuffles total: bucket group, pair dedup, top-k window.
+    Round 6: the dedup runs on the UNDIRECTED pairs and the 2× directed
+    explode happens after it — max-per-{a,b}-then-mirror is identical to
+    mirror-then-max-per-(q,n), and the dedup aggregate sees half the rows
+    (guide §2.3, aggregate before you multiply)."""
     e = _load_embeddings(spark, sf_dir)
     und = _bucket_pairs(e, n_bands, _MAX_BUCKET)
-    directed = und.select(
+    dedup_und = und.groupBy("a_id", "b_id").agg(F.max("sim").alias("sim"))
+    directed = dedup_und.select(
         F.explode(
             F.array(
                 F.struct(
@@ -406,10 +438,9 @@ def ann_lsh_topk(
             )
         ).alias("d")
     ).select("d.q_id", "d.neighbor_id", "d.sim")
-    dedup = directed.groupBy("q_id", "neighbor_id").agg(F.max("sim").alias("sim"))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        dedup.withColumn("rn", F.row_number().over(w))
+        directed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

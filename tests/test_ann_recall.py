@@ -184,11 +184,12 @@ def test_cos_seq_udf_bit_identical_to_declarative_fold(spark):
 
 
 def test_pair_scores_udf_bit_identical_to_declarative_fold(spark):
-    """_pair_scores_udf (bucket-level Arrow scorer, round 5) must reproduce
-    the interpreted F.aggregate left-fold BIT-exactly for every pair it
-    emits, and enumerate exactly the a_id < b_id combinations — same
-    contract _cos_seq_udf carries, checked through the real _bucket_pairs
-    plan so the collect_list→struct→Arrow round trip is what's tested."""
+    """The bucket-level Arrow scorer (`_score_members` via applyInPandas,
+    round 6) must reproduce the interpreted F.aggregate left-fold
+    BIT-exactly for every pair it emits, and enumerate exactly the
+    a_id < b_id combinations — same contract _cos_seq_udf carries, checked
+    through the real _bucket_pairs plan so the groupBy→Arrow round trip is
+    what's tested."""
     from itertools import combinations
 
     from gov_procurement_spider_spark.plans.ml_ops import _bucket_pairs, _cosine
@@ -229,38 +230,48 @@ def test_pair_scores_udf_bit_identical_to_declarative_fold(spark):
 
 
 def test_pair_scores_udf_edges_direct():
-    """Direct (no-Spark) unit of the bucket scorer's edge cases: empty
-    batch, singleton buckets (no pairs), and members arriving UNSORTED —
-    the UDF must sort by vec_id itself so a_id < b_id holds regardless of
-    collect_list's nondeterministic order."""
+    """Direct (no-Spark) unit of the bucket scorer's edge cases: singleton
+    buckets (no pairs) and members arriving UNSORTED — `_score_members`
+    must sort by vec_id itself so a_id < b_id holds regardless of the
+    shuffle's group-row order."""
     import numpy as np
-    import pandas as pd
 
-    from gov_procurement_spider_spark.plans.ml_ops import _pair_scores_udf
+    from gov_procurement_spider_spark.plans.ml_ops import _score_members
 
-    fn = _pair_scores_udf.func
-    # empty batch
-    out = fn(pd.Series([], dtype=object))
-    assert len(out) == 0
-    # singleton bucket → no pairs; unsorted 3-bucket → 3 sorted pairs
-    e1 = np.ones(4, dtype=np.float32)
-    e2 = np.array([1, 0, 0, 0], dtype=np.float32)
-    e3 = np.array([0, 1, 0, 0], dtype=np.float32)
-    rows = pd.Series(
-        [
-            [{"vec_id": 7, "embedding": e1}],
-            [
-                {"vec_id": 9, "embedding": e3},
-                {"vec_id": 2, "embedding": e1},
-                {"vec_id": 5, "embedding": e2},
-            ],
-        ],
-        dtype=object,
-    )
-    out = fn(rows)
-    assert out[0] == []
-    pairs = [(p["a_id"], p["b_id"]) for p in out[1]]
+    e1 = np.ones(4, dtype=np.float64)
+    e2 = np.array([1, 0, 0, 0], dtype=np.float64)
+    e3 = np.array([0, 1, 0, 0], dtype=np.float64)
+    # singleton bucket → no pairs
+    out = _score_members(np.array([7]), np.stack([e1]))
+    assert list(out.columns) == ["a_id", "b_id", "sim"] and len(out) == 0
+    # unsorted 3-bucket → 3 sorted pairs
+    out = _score_members(np.array([9, 2, 5]), np.stack([e3, e1, e2]))
+    pairs = list(zip(out["a_id"].tolist(), out["b_id"].tolist()))
     assert pairs == [(2, 5), (2, 9), (5, 9)]
-    sims = {(p["a_id"], p["b_id"]): p["sim"] for p in out[1]}
+    sims = dict(zip(pairs, out["sim"].tolist()))
     assert abs(sims[(2, 5)] - 0.5) < 1e-12  # cos(ones, e1-axis) = 1/2
     assert sims[(5, 9)] == 0.0  # orthogonal axes
+
+
+def test_pair_scores_chunking_is_value_identical():
+    """The _PAIR_CHUNK pair-slice bound (memory, round-5 ADVICE) must not
+    change any pair's value: slicing along the pair axis leaves each row's
+    fold untouched. Score a bucket with the production chunk width and with
+    a width that forces several slices; bit-compare."""
+    import numpy as np
+
+    from gov_procurement_spider_spark.plans import ml_ops
+
+    rng = np.random.default_rng(7)
+    ids = np.arange(9, dtype=np.int64)  # 36 pairs
+    E = rng.normal(size=(9, 8)).astype(np.float32).astype(np.float64)
+    full = ml_ops._score_members(ids.copy(), E.copy())
+    orig = ml_ops._PAIR_CHUNK
+    try:
+        ml_ops._PAIR_CHUNK = 5  # 36 pairs → 8 slices
+        chunked = ml_ops._score_members(ids.copy(), E.copy())
+    finally:
+        ml_ops._PAIR_CHUNK = orig
+    assert full["a_id"].tolist() == chunked["a_id"].tolist()
+    assert full["b_id"].tolist() == chunked["b_id"].tolist()
+    assert [s.hex() for s in full["sim"]] == [s.hex() for s in chunked["sim"]]

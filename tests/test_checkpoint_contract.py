@@ -156,6 +156,11 @@ def test_interface_exposes_no_mutation_of_committed_epochs():
     assert public == {
         # stage / commit / read / crash-cleanup — the Iceberg-honorable set
         "write_table",
+        # the driver-side stage primitive (round 6): same stage-then-commit
+        # role as write_table — writes data files into a NOT-yet-committed
+        # epoch dir, never touches a manifested snapshot (Iceberg: a client
+        # writing data files before the snapshot commit)
+        "write_table_local",
         "read_table",
         # read-only snapshot metadata (Iceberg: snapshot summary record_count)
         "table_num_rows",
