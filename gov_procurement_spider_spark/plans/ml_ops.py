@@ -394,14 +394,27 @@ def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFra
         F.posexplode(F.slice(_bucket_udf("embedding"), 1, n_bands)),
     ).withColumnsRenamed({"pos": "band", "col": "bucket"})
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2 or (max_bucket is not None and len(pdf) > max_bucket):
-            return pd.DataFrame(_EMPTY_PAIRS)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        return _score_members(ids, E)
+    def score(tbl):
+        import pyarrow as pa
 
-    pairs = exploded.groupBy("band", "bucket").applyInPandas(
+        m = tbl.num_rows
+        if m < 2 or (max_bucket is not None and m > max_bucket):
+            return pa.table(_EMPTY_PAIRS)
+        ids = tbl.column("vec_id").to_numpy()
+        # list<float> → one contiguous values buffer: reshape instead of
+        # building m per-row object arrays (flatten() honors offsets)
+        emb = tbl.column("embedding").combine_chunks()
+        E = emb.flatten().to_numpy().astype(np.float64).reshape(m, -1)
+        out = _score_members(ids, E)
+        return pa.table(
+            {
+                "a_id": out["a_id"].to_numpy(),
+                "b_id": out["b_id"].to_numpy(),
+                "sim": out["sim"].to_numpy(),
+            }
+        )
+
+    pairs = exploded.groupBy("band", "bucket").applyInArrow(
         score, schema=_PAIR_OUT_SCHEMA
     )
     return pairs.select(

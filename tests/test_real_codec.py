@@ -304,3 +304,19 @@ def test_ahash_fast_path_matches_reference(w, h, seed):
     v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     want = v - (1 << 64) if v >= (1 << 63) else v
     assert ahash64(px) == want
+
+
+def test_gen_pixels_stream_is_default_rng():
+    """gen_pixels constructs Generator(PCG64(seed)) for speed; the payload
+    bytes contract is the default_rng(seed) stream — they must stay
+    bit-identical (same SeedSequence seeding path) or every stored payload,
+    phash and resume byte-comparison silently shifts."""
+    import numpy as np
+
+    from gov_procurement_spider_spark.functions.images import gen_pixels
+
+    for seed, w, h in ((0, 8, 8), (123456789, 96, 33), (2**52 + 7, 40, 96)):
+        ref = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert np.array_equal(gen_pixels(seed, w, h), ref)
