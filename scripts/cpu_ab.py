@@ -37,7 +37,16 @@ _ME = os.getuid()
 
 
 def cpu_all() -> float:
-    """Sum utime+stime (seconds) of every live process owned by this uid."""
+    """Sum utime+stime (seconds) of every live process owned by this uid.
+
+    Caveats (round-5 ADVICE): this is uid-wide, not session-scoped —
+    unrelated same-uid work (a pytest session, shells) inflates deltas,
+    and a process that EXITS between the two samples drops its accumulated
+    CPU, so deltas can under-count or go negative. Run probes on an
+    otherwise-idle box (the same discipline walls already need here) and
+    discard reps that overlap other work. Round 6 adds: the burst-credit
+    throttle inflates CPU-seconds too (frequency scaling — the same query
+    read ~40 and ~80 CPU-s minutes apart); check vmstat steal DURING."""
     total = 0.0
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
