@@ -1115,6 +1115,12 @@ def run_epoch(
         .write.mode("overwrite")
         .partitionBy("row_type")
         .option("compression", "none")
+        # payload bytes are entropy-dense and unique (real crawls: already-
+        # compressed images) — parquet's dictionary attempt buffers and
+        # hashes every ~9 KB value before falling back to plain encoding
+        # on every page; disabling it read the steady-state epoch at
+        # 2.9-3.2 → 2.5 s fetch (CPU 53-57 → 49, same-window A/B r6)
+        .option("parquet.enable.dictionary", "false")
         .parquet(fetch_out_path)
     )
     _mark("fetch")
