@@ -2,7 +2,7 @@
 per-URL headless-Chrome lifecycle (jiangsu.py:218-232, driver_setup.py:36-40:
 spawn + handshake + quit *per row*).
 
-One `mapInPandas` pass per epoch fetches every selected frontier row inside
+One `mapInArrow` pass per epoch fetches every selected frontier row inside
 its partition: list pages yield discovered-link rows (next pagination page +
 detail links, ref main.py:89-100), detail pages yield the image+caption
 payload (BASELINE.json input_hint schema), and each batch appends one
@@ -10,6 +10,15 @@ payload (BASELINE.json input_hint schema), and each batch appends one
 T6). In this sandbox the "network" is the deterministic synthetic site
 (sources/site_model.py); on a real cluster this function body is the only
 thing that changes (batched HTTP with connection reuse per partition).
+
+Round 6: the boundary is Arrow-native end to end (was mapInPandas).
+Payload bytes previously crossed worker→JVM through a pandas frame — one
+``pd.array(…, dtype="Int64")`` boxing pass per nullable column plus a
+pandas→Arrow conversion per batch; now every output column is built ONCE
+as a pyarrow array and the record batches ship as-is. The round-1 gotcha
+that motivated the nullable dtypes (mixed None/int inferring float64 and
+rounding 64-bit phashes) disappears with pandas itself: pa.array with an
+explicit int64 type is exact by construction.
 
 Payload bytes are produced and written in the same partition-local stage —
 they never enter a shuffle, and the epoch writes them exactly once
@@ -22,7 +31,7 @@ from __future__ import annotations
 import time
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from ..functions import images
 from ..sources import site_model as sm
@@ -45,62 +54,50 @@ COLS = [
     "urls_fetched", "links_discovered", "payload_bytes", "wall_ms",
 ]
 
-_NULLABLE_INT = {
-    "w": "Int32", "h": "Int32", "phash": "Int64",
-    "urls_fetched": "Int64", "links_discovered": "Int64",
-    "payload_bytes": "Int64", "wall_ms": "Int64",
-    "priority": "Int32", "disc_epoch": "Int32", "seed_idx": "Int32",
-    "page_idx": "Int32", "pos": "Int32",
+# pyarrow mirror of FETCH_OUT_SCHEMA (int → int32, long → int64) — mapInArrow
+# ships these batches to the JVM verbatim, so the types must match exactly
+_PA_TYPES = {
+    "row_type": pa.string(), "fetch_epoch": pa.int32(),
+    "priority": pa.int32(), "disc_epoch": pa.int32(),
+    "seed_idx": pa.int32(), "page_idx": pa.int32(), "pos": pa.int32(),
+    "kind": pa.string(), "url": pa.string(), "host": pa.string(),
+    "route": pa.string(), "image_id": pa.string(), "bytes": pa.binary(),
+    "w": pa.int32(), "h": pa.int32(), "fmt": pa.string(),
+    "caption": pa.string(), "phash": pa.int64(),
+    "urls_fetched": pa.int64(), "links_discovered": pa.int64(),
+    "payload_bytes": pa.int64(), "wall_ms": pa.int64(),
 }
+PA_SCHEMA = pa.schema([(c, _PA_TYPES[c]) for c in COLS])
 
-_BASE = dict.fromkeys(COLS)
-
-
-def _frame(rows: list[dict]) -> pd.DataFrame:
-    # column-wise with explicit nullable dtypes: a plain pd.DataFrame(rows)
-    # would infer float64 for mixed None/int columns and silently round
-    # 64-bit phashes
-    data = {
-        c: pd.array([r[c] for r in rows], dtype=_NULLABLE_INT[c])
-        if c in _NULLABLE_INT
-        else [r[c] for r in rows]
-        for c in COLS
-    }
-    return pd.DataFrame(data, columns=COLS)
-
-
-# payload rows accumulate columnar (parallel lists), not as 22-key dicts:
-# the dict-per-row + per-column re-gather in _frame cost ~50 µs of the
-# ~250 µs per-detail-URL fetch budget. These are the per-row-varying
-# columns; the rest are constants filled in _payload_frame.
+# per-row-varying columns of each section; everything else is a constant or
+# null for that row_type and is filled column-wise in _batch
+_LINK_DYNAMIC = [
+    "priority", "disc_epoch", "seed_idx", "page_idx", "pos", "kind", "url",
+    "host", "route",
+]
 _PAYLOAD_DYNAMIC = [
     "priority", "disc_epoch", "seed_idx", "page_idx", "pos", "url", "host",
     "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
 ]
 
 
-def _payload_frame(pay: dict, epoch: int) -> pd.DataFrame:
-    n = len(pay["url"])
-    data = {}
+def _batch(dynamic: dict, constants: dict, n: int) -> pa.RecordBatch:
+    """One output record batch from column lists + per-batch constants:
+    every remaining schema column is null."""
+    arrays = []
     for c in COLS:
-        if c in pay:
-            vals = pay[c]
-        elif c == "row_type":
-            vals = ["payload"] * n
-        elif c == "kind":
-            vals = ["detail"] * n
-        elif c == "fetch_epoch":
-            vals = [epoch] * n
-        else:  # route + metric columns: null on payload rows
-            vals = [None] * n
-        data[c] = (
-            pd.array(vals, dtype=_NULLABLE_INT[c]) if c in _NULLABLE_INT else vals
-        )
-    return pd.DataFrame(data, columns=COLS)
+        t = _PA_TYPES[c]
+        if c in dynamic:
+            arrays.append(pa.array(dynamic[c], type=t))
+        elif c in constants:
+            arrays.append(pa.array([constants[c]] * n, type=t))
+        else:
+            arrays.append(pa.nulls(n, type=t))
+    return pa.RecordBatch.from_arrays(arrays, schema=PA_SCHEMA)
 
 
 def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=None):
-    """Returns the mapInPandas function over selected frontier rows
+    """Returns the mapInArrow function over selected frontier rows
     (priority, disc_epoch, seed_idx, page_idx, pos, kind, url, host).
 
     ``links_acc`` (optional Spark accumulator) receives the per-batch
@@ -110,52 +107,59 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=No
     retry inflating the count merely takes the (correct, slightly slower)
     admission path; it can never drop links."""
 
-    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def fetch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
             t0 = time.perf_counter()
-            out: list[dict] = []
+            col = {name: rb.column(i).to_pylist() for i, name in enumerate(rb.schema.names)}
+            link: dict = {c: [] for c in _LINK_DYNAMIC}
+            failed: dict = {c: [] for c in _LINK_DYNAMIC if c != "route"}
             pay: dict = {c: [] for c in _PAYLOAD_DYNAMIC}
-            n_payloads = n_links = n_bytes = 0
-            for r in pdf.itertuples(index=False):
-                if r.kind == "list":
+            n_links = n_bytes = 0
+            for prio, de, seed_idx, page_idx, pos, kind, url, host in zip(
+                col["priority"], col["disc_epoch"], col["seed_idx"],
+                col["page_idx"], col["pos"], col["kind"], col["url"],
+                col["host"],
+            ):
+                if kind == "list":
                     # pagination: admit next list page before this page's details
-                    if r.page_idx < sm.n_list_pages(spec, r.seed_idx):
-                        out.append(
-                            dict(
-                                _BASE, row_type="link", fetch_epoch=epoch,
-                                priority=r.priority, disc_epoch=-1,
-                                seed_idx=r.seed_idx, page_idx=r.page_idx + 1,
-                                pos=-1, kind="list",
-                                url=sm.list_page_url(spec, r.seed_idx, r.page_idx + 1),
-                                host=r.host,
-                            )
+                    if page_idx < sm.n_list_pages(spec, seed_idx):
+                        link["priority"].append(prio)
+                        link["disc_epoch"].append(-1)
+                        link["seed_idx"].append(seed_idx)
+                        link["page_idx"].append(page_idx + 1)
+                        link["pos"].append(-1)
+                        link["kind"].append("list")
+                        link["url"].append(
+                            sm.list_page_url(spec, seed_idx, page_idx + 1)
                         )
+                        link["host"].append(host)
+                        link["route"].append(None)
                         n_links += 1
-                    for pos in range(sm.n_links(spec, r.seed_idx, r.page_idx)):
-                        child, route = sm.child_detail(spec, r.seed_idx, r.page_idx, pos)
-                        out.append(
-                            dict(
-                                _BASE, row_type="link", fetch_epoch=epoch,
-                                priority=r.priority, disc_epoch=-1,
-                                seed_idx=r.seed_idx, page_idx=r.page_idx,
-                                pos=pos, kind="detail", url=child, host=r.host,
-                                route=route,
-                            )
-                        )
+                    for p2 in range(sm.n_links(spec, seed_idx, page_idx)):
+                        child, route = sm.child_detail(spec, seed_idx, page_idx, p2)
+                        link["priority"].append(prio)
+                        link["disc_epoch"].append(-1)
+                        link["seed_idx"].append(seed_idx)
+                        link["page_idx"].append(page_idx)
+                        link["pos"].append(p2)
+                        link["kind"].append("detail")
+                        link["url"].append(child)
+                        link["host"].append(host)
+                        link["route"].append(route)
                         n_links += 1
-                elif sm.fetch_fails(spec, r.url):
+                elif sm.fetch_fails(spec, url):
                     # failed fetch: consumed its politeness slot, recorded
                     # for lineage, no payload (ref main.py:124-127 skips)
-                    out.append(
-                        dict(
-                            _BASE, row_type="failed", fetch_epoch=epoch,
-                            priority=r.priority, disc_epoch=r.disc_epoch,
-                            seed_idx=r.seed_idx, page_idx=r.page_idx,
-                            pos=r.pos, kind="detail", url=r.url, host=r.host,
-                        )
-                    )
+                    failed["priority"].append(prio)
+                    failed["disc_epoch"].append(de)
+                    failed["seed_idx"].append(seed_idx)
+                    failed["page_idx"].append(page_idx)
+                    failed["pos"].append(pos)
+                    failed["kind"].append("detail")
+                    failed["url"].append(url)
+                    failed["host"].append(host)
                 else:  # detail leaf → image+caption payload
-                    meta = sm.payload_meta(spec, r.url)
+                    meta = sm.payload_meta(spec, url)
                     pixels = images.gen_pixels(
                         meta["pixel_seed"], meta["w"], meta["h"]
                     )
@@ -184,13 +188,13 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=No
                     if not ok:  # pragma: no cover - codec is deterministic
                         continue  # skip corrupt payload (ref skips failed
                         # fetches, main.py:124-127)
-                    pay["priority"].append(r.priority)
-                    pay["disc_epoch"].append(r.disc_epoch)
-                    pay["seed_idx"].append(r.seed_idx)
-                    pay["page_idx"].append(r.page_idx)
-                    pay["pos"].append(r.pos)
-                    pay["url"].append(r.url)
-                    pay["host"].append(r.host)
+                    pay["priority"].append(prio)
+                    pay["disc_epoch"].append(de)
+                    pay["seed_idx"].append(seed_idx)
+                    pay["page_idx"].append(page_idx)
+                    pay["pos"].append(pos)
+                    pay["url"].append(url)
+                    pay["host"].append(host)
                     pay["image_id"].append(meta["image_id"])
                     pay["bytes"].append(data)
                     pay["w"].append(meta["w"])
@@ -198,22 +202,36 @@ def make_fetcher(spec: SiteSpec, epoch: int, validate: bool = True, links_acc=No
                     pay["fmt"].append(meta["fmt"])
                     pay["caption"].append(meta["caption"])
                     pay["phash"].append(phash)
-                    n_payloads += 1
                     n_bytes += len(data)
-            out.append(
-                dict(
-                    _BASE, row_type="metric", fetch_epoch=epoch,
-                    urls_fetched=len(pdf),
-                    links_discovered=n_links, payload_bytes=n_bytes,
-                    wall_ms=int((time.perf_counter() - t0) * 1000),
-                )
-            )
             if links_acc is not None:
                 links_acc.add(n_links)
-            frame = _frame(out)  # link/failed rows + the metric row
+            # payload rows first, then links, failed, and the metric row —
+            # the order the mapInPandas version concatenated them in
             if pay["url"]:
-                pframe = _payload_frame(pay, epoch)
-                frame = pd.concat([pframe, frame], ignore_index=True, copy=False)
-            yield frame
+                yield _batch(
+                    pay,
+                    {"row_type": "payload", "kind": "detail", "fetch_epoch": epoch},
+                    len(pay["url"]),
+                )
+            if link["url"]:
+                yield _batch(
+                    link, {"row_type": "link", "fetch_epoch": epoch}, len(link["url"])
+                )
+            if failed["url"]:
+                yield _batch(
+                    failed,
+                    {"row_type": "failed", "fetch_epoch": epoch},
+                    len(failed["url"]),
+                )
+            yield _batch(
+                {},
+                {
+                    "row_type": "metric", "fetch_epoch": epoch,
+                    "urls_fetched": rb.num_rows,
+                    "links_discovered": n_links, "payload_bytes": n_bytes,
+                    "wall_ms": int((time.perf_counter() - t0) * 1000),
+                },
+                1,
+            )
 
     return fetch

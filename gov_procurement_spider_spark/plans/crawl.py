@@ -1109,7 +1109,7 @@ def run_epoch(
     links_acc = spark.sparkContext.accumulator(0)
     (
         selected.repartition(fetch_par)
-        .mapInPandas(
+        .mapInArrow(
             make_fetcher(spec, epoch, links_acc=links_acc), schema=FETCH_OUT_SCHEMA
         )
         .write.mode("overwrite")
