@@ -620,6 +620,11 @@ def _admit_links_driver(
     seen = _seen_view_local(ckpt, epoch)
 
     link_dir = os.path.join(fetch_out_path, "row_type=link")
+    if not os.path.isdir(link_dir):
+        # n_links rides an accumulator that can only over-count (task
+        # retries); if no link rows were actually written there is nothing
+        # to admit — mirrors the distributed path's empty result
+        return []
     cols = [
         "priority", "disc_epoch", "seed_idx", "page_idx", "pos",
         "kind", "url", "host", "route",
