@@ -134,8 +134,56 @@ _EMPTY_PAIRS = {
     "sim": np.empty(0, dtype=np.float64),
 }
 
+# Conservative margins for in-scorer candidate pruning. Downstream both
+# consumers compare ROUNDED sims (`F.round(sim, 6)` — half-up to the 1e-6
+# grid, |round(x) − x| ≤ 0.5e-6 + ~1e-16 decimal-conversion slop), so on
+# UNROUNDED sims:
+#   s_i > s_x + 2e-6  ⇒  round(s_i) > round(s_x)        (strict dominance)
+#   s   < t − 1e-6    ⇒  round(s)   < t                  (can't reach t)
+# Margins are deliberately ≥2× what the proof needs; every pruned pair is
+# one the unchanged JVM tail (round → dedup → window/filter) would have
+# discarded anyway, verified pair-for-pair by the pruned-vs-unpruned
+# plan-equality tests in tests/test_ann_recall.py.
+_PRUNE_GT_MARGIN = 2e-6
+_PRUNE_GE_MARGIN = 1e-6
 
-def _score_members(ids: np.ndarray, E: np.ndarray) -> pd.DataFrame:
+
+def _topk_keep_mask(
+    m: int, i: np.ndarray, j: np.ndarray, s_clean: np.ndarray, k: int
+) -> np.ndarray:
+    """Per-pair keep mask for bucket-local top-k pruning: drop (a, b) only
+    when BOTH members already have ≥ k same-bucket partners whose unrounded
+    sim exceeds the pair's by `_PRUNE_GT_MARGIN` — partners guaranteed to
+    strictly precede it in the final `(round(sim,6) DESC, neighbor_id)`
+    window order. Such a pair can never reach either member's global top-k
+    (its bucket alone supplies k strictly-better candidates), so the window
+    output is unchanged. `s_clean` must be NaN-free (callers map NaN→−inf
+    and keep NaN pairs unconditionally: Spark orders NaN above every
+    number, so they may legitimately win)."""
+    pairs = len(i)
+    # the triu is complete, so every member has exactly m−1 directed entries
+    src = np.concatenate([i, j])
+    sv = np.concatenate([s_clean, s_clean])
+    order = np.argsort(src, kind="stable")
+    by_row = sv[order].reshape(m, m - 1)
+    row_sorted = np.sort(by_row, axis=1)
+    better = np.empty((m, m - 1), dtype=np.int64)
+    for q in range(m):
+        # partners with s strictly above this pair's sim + margin
+        better[q] = (m - 1) - np.searchsorted(
+            row_sorted[q], by_row[q] + _PRUNE_GT_MARGIN, side="right"
+        )
+    keep_dir = np.empty(2 * pairs, dtype=bool)
+    keep_dir[order] = (better < k).ravel()
+    return keep_dir[:pairs] | keep_dir[pairs:]
+
+
+def _score_members(
+    ids: np.ndarray,
+    E: np.ndarray,
+    top_k: int | None = None,
+    min_sim: float | None = None,
+) -> pd.DataFrame:
     """One LSH bucket's members (ids, float64 embedding matrix) → every
     scored pair (a_id < b_id, unrounded sim) as a 3-column DataFrame.
     Round-5 topology (each member crosses the Arrow boundary ONCE; scoring
@@ -153,7 +201,19 @@ def _score_members(ids: np.ndarray, E: np.ndarray) -> pd.DataFrame:
     The cosine stays the fold-exact `np.add.accumulate` recipe, bit-identical
     to `_cosine`'s interpreted left-fold (DuckDB parity by construction);
     rounding stays JVM-side (`F.round` on the result), unchanged. Sorts by
-    vec_id itself so a_id < b_id holds regardless of input order."""
+    vec_id itself so a_id < b_id holds regardless of input order.
+
+    `top_k` / `min_sim` (round-6 tail pruning, guide §2.3 — shrink what the
+    shuffle carries, not what it means): every pair is still SCORED, but
+    pairs the unchanged downstream plan provably discards are dropped here
+    instead of riding the Arrow boundary, the dedup exchange, the mirror
+    explode and the top-k window. `top_k` keeps a pair unless both members
+    have ≥ k margin-strictly-better same-bucket partners (`_topk_keep_mask`);
+    `min_sim` drops pairs whose sim rounding cannot lift to the threshold.
+    Both are conservative (NaN pairs always kept; margins 2× the proof's
+    need); the JVM tail remains the semantic gate, so the query result is
+    identical pair-for-pair — pinned by the pruned-vs-unpruned plan-equality
+    tests."""
     m = len(ids)
     if m < 2:
         return pd.DataFrame(_EMPTY_PAIRS)
@@ -168,6 +228,17 @@ def _score_members(ids: np.ndarray, E: np.ndarray) -> pd.DataFrame:
         isl, jsl = i[sl], j[sl]
         dot = np.add.accumulate(E[isl] * E[jsl], axis=1)[:, -1]
         sim[sl] = dot / (norms[isl] * norms[jsl])
+    if top_k is not None or min_sim is not None:
+        nan_mask = np.isnan(sim)
+        keep = np.ones(len(i), dtype=bool)
+        if min_sim is not None:
+            keep &= sim >= min_sim - _PRUNE_GE_MARGIN
+        if top_k is not None and m - 1 > top_k:
+            # with ≤ top_k partners per member nothing is droppable
+            s_clean = np.where(nan_mask, -np.inf, sim)
+            keep &= _topk_keep_mask(m, i, j, s_clean, top_k)
+        keep |= nan_mask
+        i, j, sim = i[keep], j[keep], sim[keep]
     return pd.DataFrame({"a_id": ids[i], "b_id": ids[j], "sim": sim})
 
 
@@ -371,7 +442,13 @@ def ml3_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(spark, sf_dir)
 
 
-def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFrame:
+def _bucket_pairs(
+    e: DataFrame,
+    n_bands: int,
+    max_bucket: int | None,
+    top_k: int | None = None,
+    min_sim: float | None = None,
+) -> DataFrame:
     """(vec_id, embedding) → unordered candidate pairs (a_id < b_id, sim)
     from multi-band LSH buckets, posting-list style: ONE shuffle groups each
     (band, bucket)'s members, then the whole bucket batches through
@@ -405,7 +482,7 @@ def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFra
         # building m per-row object arrays (flatten() honors offsets)
         emb = tbl.column("embedding").combine_chunks()
         E = emb.flatten().to_numpy().astype(np.float64).reshape(m, -1)
-        out = _score_members(ids, E)
+        out = _score_members(ids, E, top_k=top_k, min_sim=min_sim)
         return pa.table(
             {
                 "a_id": out["a_id"].to_numpy(),
@@ -423,7 +500,11 @@ def _bucket_pairs(e: DataFrame, n_bands: int, max_bucket: int | None) -> DataFra
 
 
 def ann_lsh_topk(
-    spark: SparkSession, sf_dir: str, k: int = _TOP_K, n_bands: int = _N_BANDS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _TOP_K,
+    n_bands: int = _N_BANDS,
+    prune: bool = True,
 ) -> DataFrame:
     """Composed ANN scale path: multi-band posting-list pair generation →
     cross-band dedup (max over identical sims) → within-candidate cosine
@@ -431,9 +512,15 @@ def ann_lsh_topk(
     Round 6: the dedup runs on the UNDIRECTED pairs and the 2× directed
     explode happens after it — max-per-{a,b}-then-mirror is identical to
     mirror-then-max-per-(q,n), and the dedup aggregate sees half the rows
-    (guide §2.3, aggregate before you multiply)."""
+    (guide §2.3, aggregate before you multiply). Late round 6: the scorer
+    additionally prunes pairs both of whose members have ≥ k margin-strictly
+    better same-bucket partners (`top_k=k`) — a pair its own bucket proves
+    out of the global top-k can't re-enter via another band (sims are
+    bit-identical across buckets), so the window result is unchanged while
+    the dedup/mirror/window pipeline carries ~k·m rows per bucket instead of
+    m(m−1)/2. `prune=False` (tests) runs the identical unpruned plan."""
     e = _load_embeddings(spark, sf_dir)
-    und = _bucket_pairs(e, n_bands, _MAX_BUCKET)
+    und = _bucket_pairs(e, n_bands, _MAX_BUCKET, top_k=k if prune else None)
     dedup_und = und.groupBy("a_id", "b_id").agg(F.max("sim").alias("sim"))
     directed = dedup_und.select(
         F.explode(
@@ -469,13 +556,24 @@ _NEAR_DUP_SIM = 0.3
 
 
 def embedding_near_dup_pairs(
-    e: DataFrame, threshold: float = _NEAR_DUP_SIM, n_bands: int = _N_BANDS
+    e: DataFrame,
+    threshold: float = _NEAR_DUP_SIM,
+    n_bands: int = _N_BANDS,
+    prune: bool = True,
 ) -> DataFrame:
     """(vec_id, embedding) → near-dup pairs with cosine ≥ threshold, found
     within multi-band LSH buckets only (reused by the recall harness).
-    Posting-list topology: two shuffles (bucket group + cross-band dedup)."""
+    Posting-list topology: two shuffles (bucket group + cross-band dedup).
+    Late round 6: the scorer pre-drops pairs whose unrounded sim sits more
+    than `_PRUNE_GE_MARGIN` below the threshold — rounding can't lift them
+    past the JVM filter that still runs, so the filter's output (and the
+    dedup aggregate's input) is identical while the Arrow boundary and the
+    dedup exchange carry only near-threshold pairs. `prune=False` (tests)
+    runs the identical unpruned plan."""
     return (
-        _bucket_pairs(e, n_bands, _MAX_BUCKET)
+        _bucket_pairs(
+            e, n_bands, _MAX_BUCKET, min_sim=threshold if prune else None
+        )
         .filter(F.col("sim") >= threshold)
         .groupBy(F.col("a_id").alias("dup_a"), F.col("b_id").alias("dup_b"))
         .agg(F.max("sim").alias("sim"))

@@ -275,3 +275,93 @@ def test_pair_scores_chunking_is_value_identical():
     assert full["a_id"].tolist() == chunked["a_id"].tolist()
     assert full["b_id"].tolist() == chunked["b_id"].tolist()
     assert [s.hex() for s in full["sim"]] == [s.hex() for s in chunked["sim"]]
+
+
+def _tie_corpus(spark):
+    """_corpus plus an adversarial tie cluster: 10 same-direction vectors
+    (scaled copies — identical hyperplane signs, so they share every bucket;
+    pairwise cosine ≡ 1 up to float slop, i.e. 45 pairs inside the 1e-6
+    rounding window with > _TOP_K partners each). Nothing in the cluster is
+    margin-strictly better than anything else, so the top-k pruning must
+    keep every cluster pair and the window's id tie-break decides — the
+    no-false-drop side of the proof."""
+    rng = np.random.default_rng(99)
+    v = rng.standard_normal(_DIM)
+    rows = [
+        (2000 + i, [float(x) for x in v * (1.0 + 0.1 * i)]) for i in range(10)
+    ]
+    tie = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return _corpus(spark).unionByName(tie)
+
+
+def _rows_key(rows):
+    return sorted(
+        (tuple(r[c] for c in ("q_id", "neighbor_id")) + (r["sim"].hex(),))
+        for r in rows
+    )
+
+
+def test_topk_prune_plan_identical_to_unpruned(spark, tmp_path):
+    """ml3's in-scorer top-k pruning (round 6 late) must be invisible in the
+    query result: the pruned and unpruned plans, run end-to-end through the
+    real groupBy→applyInArrow→dedup→mirror→window pipeline, return the
+    identical row set (ids and bit-identical sims) — on the planted-dup
+    corpus AND with the adversarial tie cluster."""
+    from gov_procurement_spider_spark.plans import ml_ops
+
+    for corpus in (_corpus(spark), _tie_corpus(spark)):
+        sf = str(tmp_path / "sf")
+        corpus.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+        pruned = _rows_key(ml_ops.ann_lsh_topk(spark, sf, prune=True).collect())
+        full = _rows_key(ml_ops.ann_lsh_topk(spark, sf, prune=False).collect())
+        assert pruned == full
+        assert len(pruned) > 0
+
+
+def test_min_sim_prune_plan_identical_to_unpruned(spark):
+    """dd6's in-scorer threshold pre-filter must be invisible to the JVM
+    filter that still runs: pruned and unpruned `embedding_near_dup_pairs`
+    return the identical pair set at a permissive and a strict threshold."""
+    e = _tie_corpus(spark).cache()
+    try:
+        for thr in (0.3, 0.9):
+            key = lambda rows: sorted(
+                (r["dup_a"], r["dup_b"], r["sim"].hex()) for r in rows
+            )
+            pruned = key(embedding_near_dup_pairs(e, thr, prune=True).collect())
+            full = key(embedding_near_dup_pairs(e, thr, prune=False).collect())
+            assert pruned == full
+            assert len(pruned) > 0
+    finally:
+        e.unpersist()
+
+
+def test_topk_keep_mask_brute_force():
+    """`_topk_keep_mask` vs the literal definition, and the safety
+    invariant that makes the pruning exact: every member's true top-k
+    partners (the margin-free best k by sim) are always kept."""
+    from gov_procurement_spider_spark.plans import ml_ops
+
+    rng = np.random.default_rng(11)
+    for m, k in ((2, 1), (6, 2), (30, 5), (60, 5)):
+        i, j = np.triu_indices(m, 1)
+        sim = rng.uniform(-1, 1, size=len(i))
+        # force near-ties straddling the margin
+        sim[: len(i) // 3] = np.round(sim[: len(i) // 3], 6) + rng.uniform(
+            -2e-6, 2e-6, size=len(i) // 3
+        )
+        keep = ml_ops._topk_keep_mask(m, i, j, sim, k)
+        S = np.full((m, m), -np.inf)
+        S[i, j] = sim
+        S[j, i] = sim
+        for p in range(len(i)):
+            a, b, s = i[p], j[p], sim[p]
+            drop_a = (S[a] > s + ml_ops._PRUNE_GT_MARGIN).sum() >= k
+            drop_b = (S[b] > s + ml_ops._PRUNE_GT_MARGIN).sum() >= k
+            assert keep[p] == (not (drop_a and drop_b)), (m, k, p)
+        # safety: each member's k best-by-sim partners survive
+        for q in range(m):
+            best = np.argsort(-S[q], kind="stable")[: min(k, m - 1)]
+            for n in best:
+                p = np.nonzero(((i == q) & (j == n)) | ((i == n) & (j == q)))[0]
+                assert keep[p].all(), (m, k, q, n)
