@@ -40,6 +40,22 @@ def _split_clean(col: Column, delim: str) -> Column:
     return F.filter(F.transform(arr, lambda x: F.trim(x)), lambda x: x != "")
 
 
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal for `s` (default escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n") + "'"
+
+
+def _split_clean_sql(colname: str, delim: str) -> str:
+    """`_split_clean` as a parser-side expression string — the identical
+    split/transform/filter tree, one F.expr parse instead of ~10 py4j
+    Column-API round trips per column (25 columns below; the same
+    build-latency discipline the when-cascades already use)."""
+    return (
+        f"filter(transform(split(`{colname}`, {_sql_str(re.escape(delim))}, -1),"
+        " x -> trim(x)), x -> x != '')"
+    )
+
+
 def with_split_status(
     df: DataFrame,
     name_col: str = "名称",
@@ -64,7 +80,7 @@ def with_split_status(
         for prefix, colname in zip(
             "sqpnb", (spec_col, qty_col, price_col, name_col, brand_col)
         ):
-            arrays[f"_{prefix}{i}"] = _split_clean(F.col(colname), d)
+            arrays[f"_{prefix}{i}"] = F.expr(_split_clean_sql(colname, d))
     out = df.withColumns(arrays)
 
     # projections 2+3 as parser-side expr strings: the same when-cascades

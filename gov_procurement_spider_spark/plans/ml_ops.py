@@ -279,33 +279,24 @@ def ml1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression over the identical row, so `dot / (na · nb)` consumes
     bit-identical doubles and the rounded sim is unchanged."""
     e = _load_embeddings(spark, sf_dir)
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
+    # parser-side expr strings (build latency): the identical aggregate/
+    # zip_with lambda trees the Column API built — `0.0D` is the DOUBLE
+    # literal F.lit(0.0) produced (bare 0.0 would parse as DECIMAL)
+    norm_sql = (
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + (CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
-    a = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("_ea"),
-        norm.alias("_na"),
+    a = e.filter(F.col("vec_id") < 50).selectExpr(
+        "vec_id AS q_id", "embedding AS _ea", f"{norm_sql} AS _na"
     )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("_eb"),
-        norm.alias("_nb"),
+    b = e.selectExpr(
+        "vec_id AS neighbor_id", "embedding AS _eb", f"{norm_sql} AS _nb"
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("_ea"),
-            F.col("_eb"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    sim = F.expr(
+        "round(aggregate(zip_with(_ea, _eb,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x) / (_na * _nb), 6)"
     )
-    sim = F.round(dot / (F.col("_na") * F.col("_nb")), 6)
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         a.join(b, F.col("q_id") != F.col("neighbor_id"))

@@ -55,24 +55,32 @@ def _e2_input_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").repartition(
         spark.sparkContext.defaultParallelism
     )
-    m = F.col("p_partkey") % 6
-    return p.select(
+    # parser-side expr strings (same build-latency discipline as the
+    # splitter's cascades): the identical CASE WHEN trees the Column-API
+    # when-chains produced, in 5 py4j calls instead of ~70
+    return p.selectExpr(
         "p_partkey",
-        F.when(m == 4, F.concat("p_name", F.lit("、"), "p_type"))
-        .otherwise(F.col("p_name"))
-        .alias("name"),
-        F.col("p_brand").alias("brand"),
-        F.when(m == 0, F.concat("p_type", F.lit("-A；"), "p_type", F.lit("-B")))
-        .when(m == 1, F.lit("X1；X2；X3"))
-        .when(m == 2, F.lit("详见附件"))
-        .when(m == 3, F.lit("A；B"))
-        .when(m == 4, F.concat("p_type", F.lit("-1、"), "p_type", F.lit("-2")))
-        .otherwise(F.col("p_type"))
-        .alias("spec"),
-        F.when(m == 0, "1；2").when(m == 1, "4；5；6").when(m == 2, "1")
-        .when(m == 3, "1；2；3").when(m == 4, "7、8").otherwise("9").alias("qty"),
-        F.when(m == 0, "10；20").when(m == 1, "1.5；2.5；3.5").when(m == 2, "8")
-        .when(m == 3, "10；20").when(m == 4, "30、40").otherwise("55").alias("price"),
+        "CASE WHEN (p_partkey % 6) = 4 THEN concat(p_name, '、', p_type)"
+        " ELSE p_name END AS name",
+        "p_brand AS brand",
+        "CASE WHEN (p_partkey % 6) = 0 THEN concat(p_type, '-A；', p_type, '-B')"
+        " WHEN (p_partkey % 6) = 1 THEN 'X1；X2；X3'"
+        " WHEN (p_partkey % 6) = 2 THEN '详见附件'"
+        " WHEN (p_partkey % 6) = 3 THEN 'A；B'"
+        " WHEN (p_partkey % 6) = 4 THEN concat(p_type, '-1、', p_type, '-2')"
+        " ELSE p_type END AS spec",
+        "CASE WHEN (p_partkey % 6) = 0 THEN '1；2'"
+        " WHEN (p_partkey % 6) = 1 THEN '4；5；6'"
+        " WHEN (p_partkey % 6) = 2 THEN '1'"
+        " WHEN (p_partkey % 6) = 3 THEN '1；2；3'"
+        " WHEN (p_partkey % 6) = 4 THEN '7、8'"
+        " ELSE '9' END AS qty",
+        "CASE WHEN (p_partkey % 6) = 0 THEN '10；20'"
+        " WHEN (p_partkey % 6) = 1 THEN '1.5；2.5；3.5'"
+        " WHEN (p_partkey % 6) = 2 THEN '8'"
+        " WHEN (p_partkey % 6) = 3 THEN '10；20'"
+        " WHEN (p_partkey % 6) = 4 THEN '30、40'"
+        " ELSE '55' END AS price",
     )
 
 

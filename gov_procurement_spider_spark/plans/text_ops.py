@@ -216,21 +216,17 @@ def _shingles_spark(d: DataFrame) -> DataFrame:
     # O(tokens²) per document (round-6 profile: the shingle Generate
     # dominated dd2/dd4 CPU). An attribute boundary (Project below the
     # Generate) makes it one split per document.
-    toks = F.col("_toks")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
+    # parser-side expr string: the identical array_distinct/transform tree
+    # the Column API built, in one F.expr parse instead of ~25 py4j calls
+    # per fresh build (round-6 build-latency discipline)
+    shingles_sql = (
+        "array_distinct(transform(sequence(0, size(_toks) - 3),"
+        " i -> concat_ws(' ', element_at(_toks, i + 1),"
+        " element_at(_toks, i + 2), element_at(_toks, i + 3))))"
     )
     return d.select(
         "doc_id", _TOKENS_SPARK(F.col("text")).alias("_toks")
-    ).select("doc_id", F.explode(shingles).alias("shingle"))
+    ).select("doc_id", F.expr(f"explode({shingles_sql})").alias("shingle"))
 
 
 # hot-shingle cap: shingles shared by more than this many docs are
@@ -240,6 +236,17 @@ def _shingles_spark(d: DataFrame) -> DataFrame:
 # df ≤ τ bounds per-shingle pair fan-out at τ·(τ-1)/2, so total pairs are
 # O(distinct shingles · τ²) — linear in corpus size for fixed τ.
 _DD2_MAX_DF = 50
+
+# all ordered pairs (docs[i], docs[j]) with i < j from a sorted `docs` array,
+# generated in-row — shared by the dd2 posting-list and dd4 band-bucket
+# candidate generation. Parser-side string for build latency: the identical
+# nested-transform tree the Column API built cost ~30 py4j round trips per
+# fresh build; named_struct is what struct(x.alias(...)) resolved to.
+_PAIRS_SQL = (
+    "flatten(transform(docs, (x, i) ->"
+    " transform(slice(docs, i + 2, size(docs)),"
+    " y -> named_struct('doc_a', x, 'doc_b', y))))"
+)
 
 
 def ngram_jaccard_pairs(
@@ -268,21 +275,11 @@ def ngram_jaccard_pairs(
     # produce a pair — filter them BEFORE the interpreted combination
     # lambdas rather than evaluating transform/flatten to an empty array
     # per list (round 6; sizes below still counts every capped list).
-    pairs = grouped.filter(F.size("docs") >= 2).select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "docs",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("docs"), i + 2, F.size("docs")),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    pairs = (
+        grouped.filter(F.size("docs") >= 2)
+        .select(F.expr(f"explode({_PAIRS_SQL})").alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
     inter = pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).alias("n_common")
     )
@@ -353,17 +350,15 @@ def _minhash_wide(d: DataFrame) -> DataFrame:
     avoid 16 md5 evaluations per row; a named column makes the single
     evaluation structural (round-6 change, guide §2.3 narrow-the-bytes)."""
     sh = _shingles_spark(d)
-    hashed = sh.select(
+    hashed = sh.selectExpr(
         "doc_id",
-        _h48(F.col("shingle")).alias("_h1"),
-        F.conv(F.substring(F.md5(F.col("shingle")), 13, 12), 16, 10)
-        .cast("long")
-        .bitwiseOR(F.lit(1))
-        .alias("_h2"),
+        "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT) AS _h1",
+        "CAST(conv(substring(md5(shingle), 13, 12), 16, 10) AS BIGINT) | 1"
+        " AS _h2",
     )
     return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.col("_h1") + F.lit(s) * F.col("_h2")).alias(f"_m{s}")
+            F.expr(f"min(_h1 + {s} * _h2)").alias(f"_m{s}")
             for s in range(_N_MINHASH)
         ]
     )
@@ -422,16 +417,11 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set either way."""
     wide = _minhash_wide(load_table(spark, sf_dir, "documents"))
     n_bands = _N_MINHASH // 2
-    keyed = wide.select(
+    keyed = wide.selectExpr(
         "doc_id",
         *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.col(f"_m{2 * b}").cast("string"),
-                    F.col(f"_m{2 * b + 1}").cast("string"),
-                )
-            ).alias(f"_k{b}")
+            f"md5(concat_ws(',', CAST(_m{2 * b} AS STRING),"
+            f" CAST(_m{2 * b + 1} AS STRING))) AS _k{b}"
             for b in range(n_bands)
         ],
     )
@@ -446,21 +436,7 @@ def dd4_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("docs") >= 2)
     )
     return (
-        grouped.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "docs",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("docs"), i + 2, F.size("docs")),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        grouped.select(F.expr(f"explode({_PAIRS_SQL})").alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
